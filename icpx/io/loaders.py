@@ -1,0 +1,118 @@
+"""Extension-dispatching cloud load/save + reference-fixture locator.
+
+`load_cloud` is the framework equivalent of `MyICP::LoadCloud`
+(`myicp.cpp:20-31`) — with actual error handling, which the reference lacks
+(SURVEY.md §5.3). Fixture helpers expose the reference demo data
+(cat/cat_out/bunny) when available, else synthesize equivalent clouds so
+tests and benches run hermetically.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+from icpx.cloud import PointCloud
+from icpx.io.pcd import read_pcd, write_pcd
+from icpx.io.ply import read_ply, write_ply
+from icpx.io.xyz import read_xyz_txt, write_xyz_txt
+
+
+def load_cloud(path, *, capacity: Optional[int] = None) -> PointCloud:
+    """Load a cloud from .pcd/.ply/.txt/.xyz/.bin (KITTI) by extension."""
+    path = Path(path)
+    if not path.exists():
+        raise FileNotFoundError(f"cloud file not found: {path}")
+    ext = path.suffix.lower()
+    normals = None
+    if ext == ".pcd":
+        rec = read_pcd(path)
+        xyz = rec["xyz"]
+        normals = rec.get("normals")
+        if normals is not None and not np.any(normals):
+            normals = None  # all-zero normals (like cat_out.pcd) = none
+    elif ext == ".ply":
+        rec = read_ply(path)
+        xyz = rec["xyz"]
+        normals = rec.get("normals")
+    elif ext in (".txt", ".xyz"):
+        xyz = read_xyz_txt(path)
+    elif ext == ".bin":  # KITTI velodyne: float32 x,y,z,reflectance
+        raw = np.fromfile(path, dtype=np.float32).reshape(-1, 4)
+        xyz = raw[:, :3]
+    else:
+        raise ValueError(f"unsupported cloud extension: {ext}")
+    return PointCloud.create(xyz, normals=normals, capacity=capacity)
+
+
+def save_cloud(path, cloud: PointCloud, *, binary: bool = False) -> None:
+    """Save valid points of a cloud to .pcd/.ply/.txt by extension."""
+    path = Path(path)
+    xyz = cloud.to_numpy()
+    normals = cloud.normals_to_numpy()
+    ext = path.suffix.lower()
+    if ext == ".pcd":
+        write_pcd(path, xyz, normals=normals, binary=binary)
+    elif ext == ".ply":
+        write_ply(path, xyz, normals=normals, binary=binary)
+    elif ext in (".txt", ".xyz"):
+        write_xyz_txt(path, xyz)
+    else:
+        raise ValueError(f"unsupported cloud extension: {ext}")
+
+
+# ---- reference fixtures ------------------------------------------------------
+
+REFERENCE_DATA_DIR = Path(os.environ.get("ICPX_DATA_DIR", "/root/reference/ICP"))
+
+
+def has_reference_data() -> bool:
+    return (REFERENCE_DATA_DIR / "cat.pcd").exists()
+
+
+def load_cat_pair(capacity: Optional[int] = None) -> Tuple[PointCloud, PointCloud]:
+    """The reference demo pair: cat.pcd and cat_out.pcd (GT = Rz(pi/4)+(2.5,0,0)).
+
+    Falls back to a synthetic cat-like cloud + the same GT transform when the
+    reference data directory is unavailable.
+    """
+    if has_reference_data():
+        src = load_cloud(REFERENCE_DATA_DIR / "cat.pcd", capacity=capacity)
+        tgt = load_cloud(REFERENCE_DATA_DIR / "cat_out.pcd", capacity=capacity)
+        return src, tgt
+    xyz = synthetic_cat(3400)
+    src = PointCloud.create(xyz, capacity=capacity)
+    from icpx.geometry.transforms import make_rigid_perturbation, transform_cloud
+
+    tgt = transform_cloud(src, make_rigid_perturbation())
+    return src, tgt
+
+
+def load_bunny(capacity: Optional[int] = None) -> PointCloud:
+    """The 93-point bunny slice fixture (txt2pcd_bunny1.pcd / za.txt)."""
+    if has_reference_data():
+        p = REFERENCE_DATA_DIR / "txt2pcd_bunny1.pcd"
+        if p.exists():
+            return load_cloud(p, capacity=capacity)
+        t = REFERENCE_DATA_DIR / "za.txt"
+        if t.exists():
+            return load_cloud(t, capacity=capacity)
+    return PointCloud.create(synthetic_surface(93, seed=7) * 0.18, capacity=capacity)
+
+
+def synthetic_cat(n: int = 3400, seed: int = 0) -> np.ndarray:
+    """A cat-scale (extent ~200 units) curved synthetic surface, (n, 3) f32."""
+    return synthetic_surface(n, seed=seed) * 100.0
+
+
+def synthetic_surface(n: int, seed: int = 0) -> np.ndarray:
+    """Random smooth 2.5D surface patch with unit-ish extent — a stand-in
+    shape with well-defined normals for tests/benches without fixtures."""
+    rng = np.random.default_rng(seed)
+    uv = rng.uniform(-1.0, 1.0, size=(n, 2))
+    u, v = uv[:, 0], uv[:, 1]
+    z = 0.35 * np.sin(2.1 * u) * np.cos(1.7 * v) + 0.15 * np.sin(4.3 * v)
+    return np.stack([u, v, z], axis=-1).astype(np.float32)

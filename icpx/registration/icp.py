@@ -1,0 +1,244 @@
+"""Iterate-to-convergence ICP: the TPU rebuild of `MyICP::RegisterSymm`
+(`myicp.cpp:100-150`) plus the point-to-point mode the reference declared
+but never finished (`myicp.h:18`, stub at `myicp.cpp:43-59`).
+
+Differences from the reference, by design (SURVEY.md §7):
+  * real nearest-neighbor correspondences each iteration — the reference
+    skips this entirely (TODO at `myicp.cpp:128-131`) and only works on
+    index-aligned fixtures;
+  * joint 6-DoF Gauss-Newton with Levenberg damping instead of alternating
+    3-variable solves (`func.cpp:85-88`);
+  * robust weights + max-correspondence-distance gating (absent upstream);
+  * the whole loop is one `lax.scan` under `jit`: static shapes, no host
+    round-trips, per-iteration diagnostics returned as arrays.
+
+Convergence bookkeeping matches the reference observably: `diff` is the
+plain sum of corresponded point distances (`evalDiff`, `func.cpp:19-32`)
+with default threshold 1.0 and max 10 iterations (`myicp.cpp:6`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from icpx.cloud import PointCloud
+from icpx.geometry.se3 import SE3
+from icpx.kernels.knn import nearest_neighbor
+from icpx.kernels.normals import estimate_normals
+from icpx.registration.horn import horn_align
+from icpx.registration.linearize import (
+    build_normal_equations_p2plane,
+    build_normal_equations_symmetric,
+    mad_scale,
+    robust_weight,
+    weighted_centroids,
+)
+from icpx.registration.solve import (
+    reconstruct_p2plane_transform,
+    reconstruct_symmetric_transform,
+    solve_damped_6x6,
+)
+
+OBJECTIVES = ("symmetric", "p2plane", "p2p")
+
+
+@dataclasses.dataclass(frozen=True)
+class ICPConfig:
+    """Static hyperparameters. Reference hard-codings become named fields
+    with the reference values as defaults (SURVEY.md §5.6)."""
+
+    objective: str = "symmetric"
+    max_iters: int = 10  # myicp.cpp:6
+    diff_threshold: float = 1.0  # myicp.cpp:6 (evalDiff sum)
+    rmse_change_tol: float = 0.0  # extra stop: |delta RMSE| below this
+    k_normals: int = 10  # myicp.cpp:160
+    max_corr_dist: float = float("inf")
+    robust: str = "none"  # none|huber|tukey|welsch|cauchy
+    robust_scale: float = 0.0  # <= 0 -> auto via MAD each iteration
+    damping: float = 1e-6
+    tile_q: int = 2048
+    tile_r: int = 4096
+
+    def __post_init__(self):
+        if self.objective not in OBJECTIVES:
+            raise ValueError(f"objective must be one of {OBJECTIVES}")
+
+
+@struct.dataclass
+class ICPResult:
+    transform: SE3  # accumulated src -> tgt
+    iters: jax.Array  # number of iterations actually applied
+    converged: jax.Array  # bool
+    diff_history: jax.Array  # (max_iters,) evalDiff-style sums (post-update)
+    rmse_history: jax.Array  # (max_iters,) inlier euclidean RMSE
+    final_rmse: jax.Array
+    inlier_count: jax.Array
+
+
+def register(
+    src: PointCloud,
+    tgt: PointCloud,
+    config: ICPConfig = ICPConfig(),
+    init: Optional[SE3] = None,
+) -> ICPResult:
+    """Register src onto tgt (returns transform with tgt ~= T(src)).
+
+    Estimates normals (k = config.k_normals) for either cloud that lacks
+    them when the objective needs normals.
+    """
+    needs_normals = config.objective in ("symmetric", "p2plane")
+    if needs_normals and config.objective == "symmetric" and src.normals is None:
+        src = estimate_normals(src, k=config.k_normals)
+    if needs_normals and tgt.normals is None:
+        tgt = estimate_normals(tgt, k=config.k_normals)
+    if init is None:
+        init = SE3.identity()
+    return _register_jit(src, tgt, init, config)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _register_jit(
+    src: PointCloud, tgt: PointCloud, init: SE3, config: ICPConfig
+) -> ICPResult:
+    src_n = (
+        src.normals
+        if src.normals is not None
+        else jnp.zeros_like(src.xyz)
+    )
+    tgt_n = (
+        tgt.normals
+        if tgt.normals is not None
+        else jnp.zeros_like(tgt.xyz)
+    )
+
+    def step(carry, _):
+        transform, prev_rmse, converged, n_applied = carry
+
+        p = transform.apply(src.xyz)
+        n_p = transform.rotate(src_n)
+        d2, idx = nearest_neighbor(
+            p,
+            tgt.xyz,
+            ref_mask=tgt.mask,
+            tile_q=config.tile_q,
+            tile_r=config.tile_r,
+        )
+        q = tgt.xyz[idx]
+        n_q = tgt_n[idx]
+        dist = jnp.sqrt(d2)
+        valid = src.mask & (dist <= config.max_corr_dist)
+        vmask = valid.astype(jnp.float32)
+
+        # Residual used for robust weighting.
+        if config.objective == "symmetric":
+            r_w = jnp.abs(jnp.sum((p - q) * (n_p + n_q), axis=-1))
+        elif config.objective == "p2plane":
+            r_w = jnp.abs(jnp.sum((p - q) * n_q, axis=-1))
+        else:
+            r_w = dist
+        if config.robust == "none":
+            w = vmask
+        else:
+            if config.robust_scale > 0:
+                scale = jnp.float32(config.robust_scale)
+            else:
+                scale = mad_scale(r_w, vmask)
+            w = vmask * robust_weight(r_w, config.robust, scale)
+
+        if config.objective == "p2p":
+            incre = horn_align(p, q, w)
+        else:
+            p_bar, q_bar = weighted_centroids(p, q, w)
+            if config.objective == "symmetric":
+                ne = build_normal_equations_symmetric(
+                    p, q, n_p, n_q, w, p_bar, q_bar
+                )
+                x = solve_damped_6x6(ne.JtJ, ne.Jtr, config.damping)
+                incre = reconstruct_symmetric_transform(x, p_bar, q_bar)
+            else:
+                ne = build_normal_equations_p2plane(p, q, n_q, w)
+                x = solve_damped_6x6(ne.JtJ, ne.Jtr, config.damping)
+                incre = reconstruct_p2plane_transform(x)
+
+        new_transform = incre @ transform
+
+        # Post-update diagnostics against the same correspondences.
+        p_new = new_transform.apply(src.xyz)
+        d_new = jnp.linalg.norm(p_new - q, axis=-1)
+        diff = jnp.sum(jnp.where(valid, d_new, 0.0))  # evalDiff parity
+        count = jnp.maximum(jnp.sum(vmask), 1.0)
+        rmse = jnp.sqrt(jnp.sum(vmask * d_new * d_new) / count)
+
+        now_converged = (diff < config.diff_threshold) | (
+            (config.rmse_change_tol > 0)
+            & (jnp.abs(prev_rmse - rmse) < config.rmse_change_tol)
+        )
+
+        # Freeze once converged: keep the old state, don't apply updates.
+        def keep_old(old, new):
+            return jax.tree_util.tree_map(
+                lambda o, n: jnp.where(converged, o, n), old, new
+            )
+
+        out_transform = keep_old(transform, new_transform)
+        out_rmse = jnp.where(converged, prev_rmse, rmse)
+        out_diff = jnp.where(converged, jnp.float32(jnp.nan), diff)
+        n_applied = n_applied + jnp.where(converged, 0, 1)
+        return (
+            (out_transform, out_rmse, converged | now_converged, n_applied),
+            (out_diff, jnp.where(converged, jnp.float32(jnp.nan), rmse), count),
+        )
+
+    init_carry = (
+        init,
+        jnp.float32(jnp.inf),
+        jnp.array(False),
+        jnp.int32(0),
+    )
+    (transform, rmse, converged, iters), (diffs, rmses, counts) = jax.lax.scan(
+        step, init_carry, None, length=config.max_iters
+    )
+    return ICPResult(
+        transform=transform,
+        iters=iters,
+        converged=converged,
+        diff_history=diffs,
+        rmse_history=rmses,
+        final_rmse=rmse,
+        inlier_count=counts[-1].astype(jnp.int32),
+    )
+
+
+def register_xyz(
+    src_xyz,
+    tgt_xyz,
+    config: ICPConfig = ICPConfig(),
+    init: Optional[SE3] = None,
+) -> ICPResult:
+    """Convenience: register raw (N, 3) arrays (padding handled here)."""
+    return register(
+        PointCloud.create(src_xyz), PointCloud.create(tgt_xyz), config, init
+    )
+
+
+def format_trace(result: ICPResult) -> str:
+    """Reference-style per-iteration trace (`myicp.cpp:125-126`)."""
+    import numpy as np
+
+    lines = []
+    diffs = np.asarray(result.diff_history)
+    for i, d in enumerate(diffs):
+        if np.isnan(d):
+            break
+        lines.append(f"iters#{i + 1} / diff: {d:.6g}")
+    lines.append(
+        f"converged={bool(result.converged)} iters={int(result.iters)} "
+        f"rmse={float(result.final_rmse):.6g}"
+    )
+    return "\n".join(lines)
