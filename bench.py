@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Flagship config: single-pair symmetric ICP (normals precomputed once per
+cloud, 10 Gauss-Newton iterations with fresh NN correspondences each
+iteration) on synthetic surface clouds, real TPU chip.
+
+Metric: registered points per second per chip = N / median wall time of a
+full registration. Baseline for `vs_baseline` is the per-chip share of the
+north-star target in BASELINE.json (100M pts/s on a v5e-16 => 6.25M
+pts/s/chip); the reference itself publishes no numbers (BASELINE.md).
+"""
+
+import argparse
+import json
+import statistics
+import time
+
+import numpy as np
+
+NORTH_STAR_PER_CHIP = 100e6 / 16.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=65536, help="points per cloud")
+    ap.add_argument("--iters", type=int, default=10, help="ICP iterations")
+    ap.add_argument("--reps", type=int, default=5, help="timed repetitions")
+    ap.add_argument("--objective", default="symmetric")
+    ap.add_argument("--k-normals", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from icpx.cloud import PointCloud
+    from icpx.geometry.se3 import SE3
+    from icpx.geometry.transforms import make_rigid_perturbation
+    from icpx.io.loaders import synthetic_surface
+    from icpx.kernels.normals import estimate_normals
+    from icpx.registration.icp import ICPConfig, _register_jit
+
+    n = args.n
+    xyz = synthetic_surface(n, seed=0)
+    src = PointCloud.create(xyz, capacity=n if n % 128 == 0 else None)
+    gt = make_rigid_perturbation(angle=0.2, translation=(0.12, -0.06, 0.03))
+    rng = np.random.default_rng(1)
+    tgt_np = np.asarray(gt.apply(src.xyz))[: src.capacity]
+    perm = rng.permutation(src.capacity)
+    tgt = PointCloud.create(tgt_np[perm], capacity=src.capacity)
+    tgt = tgt.replace(mask=src.mask[perm])
+
+    cfg = ICPConfig(
+        objective=args.objective,
+        max_iters=args.iters,
+        diff_threshold=0.0,  # run all iterations: honest full-cost timing
+        k_normals=args.k_normals,
+        tile_q=2048,
+        tile_r=8192,
+    )
+
+    # Normal estimation happens once per cloud in a real pipeline; include
+    # it in the timed path (it is part of registering a fresh pair).
+    def run(src_xyz, src_mask, tgt_xyz, tgt_mask):
+        s = estimate_normals(
+            PointCloud(xyz=src_xyz, mask=src_mask), k=cfg.k_normals
+        )
+        t = estimate_normals(
+            PointCloud(xyz=tgt_xyz, mask=tgt_mask), k=cfg.k_normals
+        )
+        res = _register_jit(s, t, SE3.identity(), cfg)
+        return res.transform.R, res.transform.t, res.final_rmse
+
+    run_j = jax.jit(run)
+    args_in = (src.xyz, src.mask, tgt.xyz, tgt.mask)
+    out = run_j(*args_in)
+    jax.block_until_ready(out)  # compile + warm
+    times = []
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        out = run_j(*args_in)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    wall = statistics.median(times)
+    rmse = float(out[2])
+
+    est = SE3(R=out[0], t=out[1])
+    rot_err, t_err = est.distance_to(gt)
+    quality_ok = bool(float(rot_err) < 5e-3 and float(t_err) < 5e-3)
+
+    pts_per_sec = n / wall
+    print(
+        json.dumps(
+            {
+                "metric": "registered_points_per_sec_per_chip",
+                "value": round(pts_per_sec, 1),
+                "unit": "points/s",
+                "vs_baseline": round(pts_per_sec / NORTH_STAR_PER_CHIP, 4),
+            }
+        )
+    )
+    # diagnostics on stderr only
+    import sys
+
+    print(
+        f"# n={n} iters={args.iters} wall={wall * 1e3:.1f}ms rmse={rmse:.2e} "
+        f"rot_err={float(rot_err):.2e} t_err={float(t_err):.2e} "
+        f"quality_ok={quality_ok} times_ms={[round(t * 1e3, 1) for t in times]}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""Ring nearest-neighbor pass — the ring-attention analogue (SURVEY §2.3 P4).
+
+When the target cloud is itself sharded over the ``points`` axis (too large
+to replicate per device), each device keeps its resident query shard and
+the target shards rotate around the ring via `lax.ppermute` (XLA maps this
+onto ICI neighbor links). Each step folds one visiting target shard into a
+running (min-distance, global-index) accumulator — exactly blockwise/ring
+attention with min instead of softmax accumulation. n_steps == ring size;
+comm fully overlaps with the per-shard NN compute under XLA's scheduler.
+
+Use inside `shard_map` with a named mesh axis.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from icpx.kernels.knn import nearest_neighbor
+
+
+def ring_nearest_neighbor(
+    query: jax.Array,
+    ref_shard: jax.Array,
+    ref_mask_shard: jax.Array,
+    axis_name: str,
+    *,
+    payload_shard: jax.Array | None = None,
+    tile_q: int = 2048,
+    tile_r: int = 4096,
+) -> Tuple[jax.Array, jax.Array, jax.Array | None]:
+    """NN of local `query` (Nq,3) against the UNION of all devices'
+    `ref_shard` (Ns,3).
+
+    Returns (sqdist (Nq,), global index (Nq,), gathered payload or None).
+    Global indices are `owner_device * Ns + local_index`, matching a
+    row-major concatenation of shards along the ring axis.
+
+    `payload_shard` (Ns, D) rides the ring alongside the coordinates and is
+    gathered at fold time — so callers get the matched rows (e.g. target
+    xyz+normals) without a second cross-shard gather pass.
+    """
+    n_dev = lax.axis_size(axis_name)
+    me = lax.axis_index(axis_name)
+    nq = query.shape[0]
+    shard_n = ref_shard.shape[0]
+    perm = [(j, (j - 1) % n_dev) for j in range(n_dev)]  # send left
+    has_payload = payload_shard is not None
+    payload = (
+        payload_shard
+        if has_payload
+        else jnp.zeros((shard_n, 1), jnp.float32)
+    )
+
+    def fold(carry, _):
+        best_d, best_i, best_pl, r_cur, m_cur, pl_cur, owner = carry
+        d, li = nearest_neighbor(
+            query, r_cur, ref_mask=m_cur, tile_q=tile_q, tile_r=tile_r
+        )
+        gi = owner * shard_n + li
+        better = d < best_d
+        best_d = jnp.where(better, d, best_d)
+        best_i = jnp.where(better, gi, best_i)
+        best_pl = jnp.where(better[:, None], pl_cur[li], best_pl)
+        r_next = lax.ppermute(r_cur, axis_name, perm)
+        m_next = lax.ppermute(m_cur, axis_name, perm)
+        pl_next = lax.ppermute(pl_cur, axis_name, perm)
+        owner_next = (owner + 1) % n_dev
+        return (
+            best_d,
+            best_i,
+            best_pl,
+            r_next,
+            m_next,
+            pl_next,
+            owner_next,
+        ), None
+
+    init = (
+        jnp.full((nq,), jnp.inf, jnp.float32),
+        jnp.zeros((nq,), jnp.int32),
+        jnp.zeros((nq, payload.shape[1]), payload.dtype),
+        ref_shard,
+        ref_mask_shard,
+        payload,
+        me,
+    )
+    (best_d, best_i, best_pl, *_), _ = lax.scan(fold, init, None, length=n_dev)
+    return best_d, best_i, (best_pl if has_payload else None)

@@ -1,0 +1,284 @@
+"""Sharded ICP over a device mesh (SURVEY §2.3 P1/P2/P4).
+
+Execution modes, all one `shard_map` around the full jitted ICP scan (no
+host round-trips between iterations):
+
+  * `sharded_register` — one pair, source points sharded over the
+    ``points`` axis. Target replicated (default: fastest when it fits per
+    device) or sharded with ring NN passes (`ring=True`: target shards
+    rotate over `ppermute`, ring-attention style). Per-iteration
+    cross-device traffic: the 6x6 normal equations + centroid/convergence
+    scalars (psum), plus the ring rotation when enabled.
+  * `sharded_register_pairs` — a batch of pairs sharded over ``pairs``
+    (DP) with each pair's points optionally sharded over ``points``.
+
+The serial analogue in the reference is the whole of `RegisterSymm`
+(`myicp.cpp:100-150`), which holds every point in one Eigen matrix.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from icpx.cloud import PointCloud
+from icpx.geometry.se3 import SE3
+from icpx.kernels.knn import nearest_neighbor
+from icpx.kernels.normals import estimate_normals
+from icpx.registration.icp import ICPConfig, ICPResult
+from icpx.distributed.ring import ring_nearest_neighbor
+from icpx.registration.step import (
+    correspondence_weights,
+    estimate_increment,
+    step_stats,
+)
+
+
+def _icp_scan(
+    config: ICPConfig,
+    src_xyz,
+    src_mask,
+    src_n,
+    init: SE3,
+    nn_fn,
+    reduce,
+):
+    """The ICP iteration scan shared by every sharded mode.
+
+    `nn_fn(p) -> (q, n_q, dist)` produces matched target rows; `reduce`
+    sums pytrees across the points partition.
+    """
+
+    def step(carry, _):
+        transform, prev_rmse, converged, n_applied = carry
+        p = transform.apply(src_xyz)
+        n_p = transform.rotate(src_n)
+        q, n_q, dist = nn_fn(p)
+
+        w = correspondence_weights(config, p, n_p, q, n_q, dist, src_mask)
+        incre = estimate_increment(config, p, q, n_p, n_q, w, reduce)
+        new_transform = incre @ transform
+
+        stats = step_stats(
+            config, new_transform.apply(src_xyz), q, dist, src_mask, reduce
+        )
+        now_converged = (stats.diff < config.diff_threshold) | (
+            (config.rmse_change_tol > 0)
+            & (jnp.abs(prev_rmse - stats.rmse) < config.rmse_change_tol)
+        )
+
+        def keep_old(old, new):
+            return jax.tree_util.tree_map(
+                lambda o, n: jnp.where(converged, o, n), old, new
+            )
+
+        out_transform = keep_old(transform, new_transform)
+        out_rmse = jnp.where(converged, prev_rmse, stats.rmse)
+        out_diff = jnp.where(converged, jnp.float32(jnp.nan), stats.diff)
+        n_applied = n_applied + jnp.where(converged, 0, 1)
+        return (
+            (out_transform, out_rmse, converged | now_converged, n_applied),
+            (
+                out_diff,
+                jnp.where(converged, jnp.float32(jnp.nan), stats.rmse),
+                stats.inlier_count,
+            ),
+        )
+
+    carry0 = (init, jnp.float32(jnp.inf), jnp.array(False), jnp.int32(0))
+    (transform, rmse, converged, iters), (diffs, rmses, counts) = lax.scan(
+        step, carry0, None, length=config.max_iters
+    )
+    return ICPResult(
+        transform=transform,
+        iters=iters,
+        converged=converged,
+        diff_history=diffs,
+        rmse_history=rmses,
+        final_rmse=rmse,
+        inlier_count=counts[-1].astype(jnp.int32),
+    )
+
+
+def sharded_register(
+    src: PointCloud,
+    tgt: PointCloud,
+    config: ICPConfig,
+    mesh: Mesh,
+    init: Optional[SE3] = None,
+    *,
+    points_axis: str = "points",
+    ring: bool = False,
+) -> ICPResult:
+    """Single-pair ICP with the source points sharded across `mesh`.
+
+    Capacities must be divisible by the points-axis size (pad clouds with
+    `PointCloud.pad_to`). Normals are estimated up front (replicated) when
+    missing. With `ring=True` the target is sharded too and NN runs as
+    ring passes — use when the target cloud cannot be replicated per
+    device.
+    """
+    n_shards = mesh.shape[points_axis]
+    if src.capacity % n_shards or tgt.capacity % n_shards:
+        raise ValueError(
+            f"cloud capacities ({src.capacity}, {tgt.capacity}) must be "
+            f"divisible by the '{points_axis}' axis size {n_shards}"
+        )
+    needs_normals = config.objective in ("symmetric", "p2plane")
+    if needs_normals and config.objective == "symmetric" and src.normals is None:
+        src = estimate_normals(src, k=config.k_normals)
+    if needs_normals and tgt.normals is None:
+        tgt = estimate_normals(tgt, k=config.k_normals)
+    if init is None:
+        init = SE3.identity()
+    src_n = src.normals if src.normals is not None else jnp.zeros_like(src.xyz)
+    tgt_n = tgt.normals if tgt.normals is not None else jnp.zeros_like(tgt.xyz)
+
+    shard1 = P(points_axis)
+    shard2 = P(points_axis, None)
+    repl1, repl2 = P(), P(None, None)
+    reduce = partial(lax.psum, axis_name=points_axis)
+
+    if ring:
+        tgt_spec1, tgt_spec2 = shard1, shard2
+    else:
+        tgt_spec1, tgt_spec2 = repl1, repl2
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            shard2,  # src xyz
+            shard1,  # src mask
+            shard2,  # src normals
+            tgt_spec2,  # tgt xyz
+            tgt_spec1,  # tgt mask
+            tgt_spec2,  # tgt normals
+            P(),  # init R  (replicated; SE3 leaves passed separately)
+            P(),  # init t
+        ),
+        out_specs=jax.tree_util.tree_map(lambda _: P(), _result_struct(config)),
+        check_vma=False,
+    )
+    def run(s_xyz, s_mask, s_n, t_xyz, t_mask, t_n, init_R, init_t):
+        if ring:
+            payload = jnp.concatenate([t_xyz, t_n], axis=1)
+
+            def nn_fn(p):
+                d2, _, pl = ring_nearest_neighbor(
+                    p,
+                    t_xyz,
+                    t_mask,
+                    points_axis,
+                    payload_shard=payload,
+                    tile_q=config.tile_q,
+                    tile_r=config.tile_r,
+                )
+                return pl[:, :3], pl[:, 3:], jnp.sqrt(d2)
+
+        else:
+
+            def nn_fn(p):
+                d2, idx = nearest_neighbor(
+                    p,
+                    t_xyz,
+                    ref_mask=t_mask,
+                    tile_q=config.tile_q,
+                    tile_r=config.tile_r,
+                )
+                return t_xyz[idx], t_n[idx], jnp.sqrt(d2)
+
+        return _icp_scan(
+            config,
+            s_xyz,
+            s_mask,
+            s_n,
+            SE3(R=init_R, t=init_t),
+            nn_fn,
+            reduce,
+        )
+
+    return run(
+        src.xyz, src.mask, src_n, tgt.xyz, tgt.mask, tgt_n, init.R, init.t
+    )
+
+
+def sharded_register_pairs(
+    src_xyz: jax.Array,  # (B, N, 3)
+    src_mask: jax.Array,  # (B, N)
+    src_normals: jax.Array,  # (B, N, 3)
+    tgt_xyz: jax.Array,
+    tgt_mask: jax.Array,
+    tgt_normals: jax.Array,
+    config: ICPConfig,
+    mesh: Mesh,
+    *,
+    pairs_axis: str = "pairs",
+    points_axis: str = "points",
+) -> ICPResult:
+    """DP over pairs x TP/SP over points: the full training-step analogue.
+
+    Each (pairs, points) device tile holds a slice of a sub-batch of
+    pairs; within a pair the 6x6 systems psum over `points_axis` (batched
+    collective under vmap), while independent pairs proceed in parallel
+    along `pairs_axis` with no cross-talk. Target is replicated along
+    `points_axis` here (scan-to-scan odometry shapes).
+    """
+    b, n = src_xyz.shape[0], src_xyz.shape[1]
+    dp = mesh.shape[pairs_axis]
+    sp = mesh.shape[points_axis]
+    if b % dp or n % sp:
+        raise ValueError(f"batch {b} / points {n} not divisible by mesh {mesh.shape}")
+    reduce = partial(lax.psum, axis_name=points_axis)
+
+    spec3 = P(pairs_axis, points_axis, None)
+    spec2 = P(pairs_axis, points_axis)
+    repl3 = P(pairs_axis, None, None)
+    repl2 = P(pairs_axis, None)
+    out_struct = _result_struct(config)
+    out_specs = jax.tree_util.tree_map(lambda _: P(pairs_axis), out_struct)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(spec3, spec2, spec3, repl3, repl2, repl3),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    def run(s_xyz, s_mask, s_n, t_xyz, t_mask, t_n):
+        def one_pair(sx, sm, sn, tx, tm, tn):
+            def nn_fn(p):
+                d2, idx = nearest_neighbor(
+                    p,
+                    tx,
+                    ref_mask=tm,
+                    tile_q=config.tile_q,
+                    tile_r=config.tile_r,
+                )
+                return tx[idx], tn[idx], jnp.sqrt(d2)
+
+            return _icp_scan(
+                config, sx, sm, sn, SE3.identity(), nn_fn, reduce
+            )
+
+        return jax.vmap(one_pair)(s_xyz, s_mask, s_n, t_xyz, t_mask, t_n)
+
+    return run(src_xyz, src_mask, src_normals, tgt_xyz, tgt_mask, tgt_normals)
+
+
+def _result_struct(config: ICPConfig) -> ICPResult:
+    """Shape-only pytree matching ICPResult for out_specs construction."""
+    return ICPResult(
+        transform=SE3(R=0, t=0),
+        iters=0,
+        converged=0,
+        diff_history=0,
+        rmse_history=0,
+        final_rmse=0,
+        inlier_count=0,
+    )

@@ -31,18 +31,10 @@ from icpx.cloud import PointCloud
 from icpx.geometry.se3 import SE3
 from icpx.kernels.knn import nearest_neighbor
 from icpx.kernels.normals import estimate_normals
-from icpx.registration.horn import horn_align
-from icpx.registration.linearize import (
-    build_normal_equations_p2plane,
-    build_normal_equations_symmetric,
-    mad_scale,
-    robust_weight,
-    weighted_centroids,
-)
-from icpx.registration.solve import (
-    reconstruct_p2plane_transform,
-    reconstruct_symmetric_transform,
-    solve_damped_6x6,
+from icpx.registration.step import (
+    correspondence_weights,
+    estimate_increment,
+    step_stats,
 )
 
 OBJECTIVES = ("symmetric", "p2plane", "p2p")
@@ -132,48 +124,14 @@ def _register_jit(
         q = tgt.xyz[idx]
         n_q = tgt_n[idx]
         dist = jnp.sqrt(d2)
-        valid = src.mask & (dist <= config.max_corr_dist)
-        vmask = valid.astype(jnp.float32)
 
-        # Residual used for robust weighting.
-        if config.objective == "symmetric":
-            r_w = jnp.abs(jnp.sum((p - q) * (n_p + n_q), axis=-1))
-        elif config.objective == "p2plane":
-            r_w = jnp.abs(jnp.sum((p - q) * n_q, axis=-1))
-        else:
-            r_w = dist
-        if config.robust == "none":
-            w = vmask
-        else:
-            if config.robust_scale > 0:
-                scale = jnp.float32(config.robust_scale)
-            else:
-                scale = mad_scale(r_w, vmask)
-            w = vmask * robust_weight(r_w, config.robust, scale)
-
-        if config.objective == "p2p":
-            incre = horn_align(p, q, w)
-        else:
-            p_bar, q_bar = weighted_centroids(p, q, w)
-            if config.objective == "symmetric":
-                ne = build_normal_equations_symmetric(
-                    p, q, n_p, n_q, w, p_bar, q_bar
-                )
-                x = solve_damped_6x6(ne.JtJ, ne.Jtr, config.damping)
-                incre = reconstruct_symmetric_transform(x, p_bar, q_bar)
-            else:
-                ne = build_normal_equations_p2plane(p, q, n_q, w)
-                x = solve_damped_6x6(ne.JtJ, ne.Jtr, config.damping)
-                incre = reconstruct_p2plane_transform(x)
-
+        w = correspondence_weights(config, p, n_p, q, n_q, dist, src.mask)
+        incre = estimate_increment(config, p, q, n_p, n_q, w)
         new_transform = incre @ transform
 
         # Post-update diagnostics against the same correspondences.
-        p_new = new_transform.apply(src.xyz)
-        d_new = jnp.linalg.norm(p_new - q, axis=-1)
-        diff = jnp.sum(jnp.where(valid, d_new, 0.0))  # evalDiff parity
-        count = jnp.maximum(jnp.sum(vmask), 1.0)
-        rmse = jnp.sqrt(jnp.sum(vmask * d_new * d_new) / count)
+        stats = step_stats(config, new_transform.apply(src.xyz), q, dist, src.mask)
+        diff, rmse, count = stats.diff, stats.rmse, stats.inlier_count
 
         now_converged = (diff < config.diff_threshold) | (
             (config.rmse_change_tol > 0)

@@ -1,0 +1,143 @@
+"""Shared per-iteration ICP core, parameterized over the reduction.
+
+One function serves both execution modes:
+  * single device — `reduce` is the identity;
+  * sharded over a `points` mesh axis (SURVEY.md §2.3 P2) — `reduce` is
+    `lax.psum(..., axis_name)`, so the 6x6 normal equations, centroids and
+    convergence scalars are the ONLY cross-device traffic per iteration.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from icpx.geometry.se3 import SE3
+from icpx.registration.horn import horn_align
+from icpx.registration.linearize import (
+    build_normal_equations_p2p,
+    build_normal_equations_p2plane,
+    build_normal_equations_symmetric,
+    mad_scale,
+    robust_weight,
+)
+from icpx.registration.solve import (
+    reconstruct_p2plane_transform,
+    reconstruct_symmetric_transform,
+    solve_damped_6x6,
+)
+
+_EPS = 1e-12
+
+
+class StepStats(NamedTuple):
+    diff: jax.Array  # evalDiff-style sum of corresponded distances
+    rmse: jax.Array  # inlier euclidean RMSE (post-update)
+    inlier_count: jax.Array
+
+
+def correspondence_weights(
+    config,
+    p: jax.Array,
+    n_p: jax.Array,
+    q: jax.Array,
+    n_q: jax.Array,
+    dist: jax.Array,
+    src_mask: jax.Array,
+) -> jax.Array:
+    """Validity gate + robust IRLS weights for the current correspondences."""
+    valid = src_mask & (dist <= config.max_corr_dist) & jnp.isfinite(dist)
+    vmask = valid.astype(jnp.float32)
+    if config.robust == "none":
+        return vmask
+    if config.objective == "symmetric":
+        r_w = jnp.abs(jnp.sum((p - q) * (n_p + n_q), axis=-1))
+    elif config.objective == "p2plane":
+        r_w = jnp.abs(jnp.sum((p - q) * n_q, axis=-1))
+    else:
+        r_w = dist
+    if config.robust_scale > 0:
+        scale = jnp.float32(config.robust_scale)
+    else:
+        # NOTE: in sharded mode this is the per-shard MAD (a local
+        # approximation); pass a fixed robust_scale for bitwise
+        # shard-count-independent results.
+        scale = mad_scale(r_w, vmask)
+    return vmask * robust_weight(r_w, config.robust, scale)
+
+
+def estimate_increment(
+    config,
+    p: jax.Array,
+    q: jax.Array,
+    n_p: jax.Array,
+    n_q: jax.Array,
+    w: jax.Array,
+    reduce: Callable = lambda x: x,
+) -> SE3:
+    """One Gauss-Newton / closed-form update from weighted correspondences.
+
+    `reduce` must sum pytrees of arrays across the points axis partition
+    (identity on a single device). All participating devices return the
+    same increment, keeping the accumulated transform replicated.
+    """
+    # Global weighted centroids (two-phase: local sums -> reduce).
+    local = (
+        jnp.sum(w),
+        jnp.sum(p * w[:, None], axis=0),
+        jnp.sum(q * w[:, None], axis=0),
+    )
+    wsum, p_num, q_num = reduce(local)
+    denom = jnp.maximum(wsum, _EPS)
+    p_bar, q_bar = p_num / denom, q_num / denom
+
+    if config.objective == "p2p":
+        # Weighted Kabsch from reduced sufficient statistics: the 3x3
+        # cross-covariance psums exactly like the 6x6 JtJ.
+        pc = p - p_bar[None, :]
+        qc = q - q_bar[None, :]
+        S_local = jnp.einsum("n,ni,nj->ij", w, qc, pc)
+        S = reduce(S_local) / denom
+        U, _, Vt = jnp.linalg.svd(S)
+        det = jnp.linalg.det(U) * jnp.linalg.det(Vt)
+        D = jnp.ones((3,), S.dtype).at[2].set(jnp.sign(det) + (det == 0.0))
+        R = jnp.einsum("ik,k,kj->ij", U, D, Vt)
+        t = q_bar - R @ p_bar
+        return SE3(R=R, t=t)
+
+    if config.objective == "symmetric":
+        ne = build_normal_equations_symmetric(p, q, n_p, n_q, w, p_bar, q_bar)
+        JtJ, Jtr = reduce((ne.JtJ, ne.Jtr))
+        x = solve_damped_6x6(JtJ, Jtr, config.damping)
+        return reconstruct_symmetric_transform(x, p_bar, q_bar)
+
+    ne = build_normal_equations_p2plane(p, q, n_q, w)
+    JtJ, Jtr = reduce((ne.JtJ, ne.Jtr))
+    x = solve_damped_6x6(JtJ, Jtr, config.damping)
+    return reconstruct_p2plane_transform(x)
+
+
+def step_stats(
+    config,
+    p_new: jax.Array,
+    q: jax.Array,
+    dist_old: jax.Array,
+    src_mask: jax.Array,
+    reduce: Callable = lambda x: x,
+) -> StepStats:
+    """Convergence metrics vs the iteration's correspondences."""
+    valid = src_mask & (dist_old <= config.max_corr_dist) & jnp.isfinite(dist_old)
+    vmask = valid.astype(jnp.float32)
+    d_new = jnp.linalg.norm(p_new - q, axis=-1)
+    local = (
+        jnp.sum(jnp.where(valid, d_new, 0.0)),
+        jnp.sum(vmask * d_new * d_new),
+        jnp.sum(vmask),
+    )
+    diff, sq, count = reduce(local)
+    count = jnp.maximum(count, 1.0)
+    return StepStats(
+        diff=diff, rmse=jnp.sqrt(sq / count), inlier_count=count
+    )
