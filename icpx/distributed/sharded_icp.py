@@ -30,79 +30,8 @@ from icpx.cloud import PointCloud
 from icpx.geometry.se3 import SE3
 from icpx.kernels.knn import nearest_neighbor
 from icpx.kernels.normals import estimate_normals
-from icpx.registration.icp import ICPConfig, ICPResult
+from icpx.registration.icp import ICPConfig, ICPResult, _icp_scan
 from icpx.distributed.ring import ring_nearest_neighbor
-from icpx.registration.step import (
-    correspondence_weights,
-    estimate_increment,
-    step_stats,
-)
-
-
-def _icp_scan(
-    config: ICPConfig,
-    src_xyz,
-    src_mask,
-    src_n,
-    init: SE3,
-    nn_fn,
-    reduce,
-):
-    """The ICP iteration scan shared by every sharded mode.
-
-    `nn_fn(p) -> (q, n_q, dist)` produces matched target rows; `reduce`
-    sums pytrees across the points partition.
-    """
-
-    def step(carry, _):
-        transform, prev_rmse, converged, n_applied = carry
-        p = transform.apply(src_xyz)
-        n_p = transform.rotate(src_n)
-        q, n_q, dist = nn_fn(p)
-
-        w = correspondence_weights(config, p, n_p, q, n_q, dist, src_mask)
-        incre = estimate_increment(config, p, q, n_p, n_q, w, reduce)
-        new_transform = incre @ transform
-
-        stats = step_stats(
-            config, new_transform.apply(src_xyz), q, dist, src_mask, reduce
-        )
-        now_converged = (stats.diff < config.diff_threshold) | (
-            (config.rmse_change_tol > 0)
-            & (jnp.abs(prev_rmse - stats.rmse) < config.rmse_change_tol)
-        )
-
-        def keep_old(old, new):
-            return jax.tree_util.tree_map(
-                lambda o, n: jnp.where(converged, o, n), old, new
-            )
-
-        out_transform = keep_old(transform, new_transform)
-        out_rmse = jnp.where(converged, prev_rmse, stats.rmse)
-        out_diff = jnp.where(converged, jnp.float32(jnp.nan), stats.diff)
-        n_applied = n_applied + jnp.where(converged, 0, 1)
-        return (
-            (out_transform, out_rmse, converged | now_converged, n_applied),
-            (
-                out_diff,
-                jnp.where(converged, jnp.float32(jnp.nan), stats.rmse),
-                stats.inlier_count,
-            ),
-        )
-
-    carry0 = (init, jnp.float32(jnp.inf), jnp.array(False), jnp.int32(0))
-    (transform, rmse, converged, iters), (diffs, rmses, counts) = lax.scan(
-        step, carry0, None, length=config.max_iters
-    )
-    return ICPResult(
-        transform=transform,
-        iters=iters,
-        converged=converged,
-        diff_history=diffs,
-        rmse_history=rmses,
-        final_rmse=rmse,
-        inlier_count=counts[-1].astype(jnp.int32),
-    )
 
 
 def sharded_register(

@@ -1,0 +1,452 @@
+"""Block-sparse (IVF-style) nearest neighbor — the TPU-native scalable NN.
+
+Why not a KD-tree, and why not hash-probe gathers: traversal is pointer
+chasing, and per-query random gathers compile/run catastrophically slowly
+in XLA on TPU (measured: 27-probe voxel query at 1M pts ~4s). The TPU
+wants big contiguous blocks and matmuls, so:
+
+  build (once per reference cloud):
+    1. Morton-order the points (30-bit interleaved key of 10-bit/axis
+       quantized coords) — a spatial sort;
+    2. cut the sorted order into T fixed tiles of S points (sentinel
+       padding), keep per-tile centroids.
+
+  query (per ICP iteration):
+    1. queries arrive spatially sorted in tiles of Sq (rigid motion
+       preserves locality, so ICP sorts the source ONCE);
+    2. per query tile: top-K nearest reference tiles by centroid distance
+       (a (Tq, T) matmul + top_k — tiny);
+    3. scan over k = 1..K: slice the k-th candidate tile for every query
+       tile ((Tq, S, 3) contiguous-row gather = pure DMA), compute the
+       (Sq, S) squared-distance block via a batched MXU matmul with the
+       augmented-coordinate trick, fold a running (min, argmin).
+
+  Cost: Nq * K * S candidate pairs (vs Nq * Nr brute force) with zero
+  per-point gathers. At 1M points, K=8, S=256: 2e9 pairs ~ milliseconds.
+
+Recall semantics: a query's true NN is found iff its tile's K candidate
+tiles include the NN's tile. With Morton-compact tiles and default K this
+is >99.9% (tests); misses surface as a larger (but genuine) distance to a
+point in a candidate tile, which ICP's robust gating absorbs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from icpx.cloud import PAD_COORD
+
+
+@struct.dataclass
+class TileIndex:
+    """Morton-sorted, fixed-tile partition of a reference cloud."""
+
+    tiles: jax.Array  # (T, S, 3) sorted coords, PAD_COORD padding
+    box_lo: jax.Array  # (T, 3) per-tile AABB (sentinel-free)
+    box_hi: jax.Array  # (T, 3)
+    centroids: jax.Array  # (T, 3) masked tile centroids
+    order: jax.Array  # (T*S,) sorted position -> original index, -1 pad
+
+    @property
+    def n_tiles(self) -> int:
+        return self.tiles.shape[0]
+
+    @property
+    def tile_size(self) -> int:
+        return self.tiles.shape[1]
+
+
+def _part1by2(x: jax.Array) -> jax.Array:
+    """Spread 10 bits to every 3rd bit (Morton interleave helper)."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x30000FF
+    x = (x | (x << 8)) & 0x300F00F
+    x = (x | (x << 4)) & 0x30C30C3
+    x = (x | (x << 2)) & 0x9249249
+    return x
+
+
+def morton_keys(
+    xyz: jax.Array, lo: jax.Array, inv_extent: jax.Array
+) -> jax.Array:
+    """(N, 3) -> (N,) 30-bit Morton codes over the given bounding box."""
+    u = jnp.clip((xyz - lo) * inv_extent, 0.0, 1.0 - 1e-7)
+    q = (u * 1024.0).astype(jnp.int32)
+    return (
+        _part1by2(q[..., 0])
+        | (_part1by2(q[..., 1]) << 1)
+        | (_part1by2(q[..., 2]) << 2)
+    )
+
+
+@partial(jax.jit, static_argnames=("tile_size",))
+def build_tile_index(
+    xyz: jax.Array,
+    mask: Optional[jax.Array] = None,
+    *,
+    tile_size: int = 256,
+) -> TileIndex:
+    """Morton-sort (N, 3) points into (T, S, 3) tiles (built once)."""
+    n = xyz.shape[0]
+    mask = jnp.ones((n,), bool) if mask is None else mask
+    s = tile_size
+    t = -(-n // s)
+    pad = t * s - n
+
+    lo = jnp.min(jnp.where(mask[:, None], xyz, PAD_COORD), axis=0)
+    hi = jnp.max(jnp.where(mask[:, None], xyz, -PAD_COORD), axis=0)
+    inv_extent = 1.0 / jnp.maximum(hi - lo, 1e-6)
+
+    keys = morton_keys(xyz, lo, inv_extent)
+    keys = jnp.where(mask, keys, jnp.int32(2**30))  # pads sort last
+    order = jnp.argsort(keys, stable=True).astype(jnp.int32)
+    sorted_xyz = jnp.where(
+        mask[order][:, None], xyz[order], PAD_COORD
+    )
+    order = jnp.where(mask[order], order, -1)
+    if pad:
+        sorted_xyz = jnp.concatenate(
+            [sorted_xyz, jnp.full((pad, 3), PAD_COORD, jnp.float32)]
+        )
+        order = jnp.concatenate([order, jnp.full((pad,), -1, jnp.int32)])
+
+    tiles = sorted_xyz.reshape(t, s, 3)
+    valid = order.reshape(t, s) >= 0
+    box_lo = jnp.min(
+        jnp.where(valid[..., None], tiles, PAD_COORD), axis=1
+    )
+    box_hi = jnp.max(
+        jnp.where(valid[..., None], tiles, -PAD_COORD), axis=1
+    )
+    cnt = jnp.maximum(valid.sum(axis=1, keepdims=True), 1)
+    centroids = (
+        jnp.where(valid[..., None], tiles, 0.0).sum(axis=1) / cnt
+    )
+    centroids = jnp.where(cnt > 0, centroids, PAD_COORD)
+    return TileIndex(
+        tiles=tiles,
+        box_lo=box_lo,
+        box_hi=box_hi,
+        centroids=centroids,
+        order=order,
+    )
+
+
+def _box_sqdist(
+    lo_a: jax.Array, hi_a: jax.Array, lo_b: jax.Array, hi_b: jax.Array
+) -> jax.Array:
+    """Pairwise squared distance between AABBs (..., A, 3) x (..., B, 3)
+    -> (..., A, B); zero when boxes overlap."""
+    gap = jnp.maximum(
+        lo_b[..., None, :, :] - hi_a[..., :, None, :],
+        lo_a[..., :, None, :] - hi_b[..., None, :, :],
+    )
+    gap = jnp.maximum(gap, 0.0)
+    return jnp.sum(gap * gap, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("k_tiles",))
+def block_nn(
+    query_tiles: jax.Array,
+    index: TileIndex,
+    *,
+    k_tiles: int = 8,
+) -> Tuple[jax.Array, jax.Array]:
+    """NN of spatially-coherent query tiles (Tq, Sq, 3) into the index.
+
+    Returns (sqdist (Tq*Sq,), original ref index (Tq*Sq,), flattened in
+    query-tile order). Queries in a tile share candidate tiles — callers
+    must present spatially sorted tiles (see module docstring).
+    """
+    tq, sq, _ = query_tiles.shape
+    s = index.tile_size
+    cand_tiles, _ = _candidate_tiles(query_tiles, index, k_tiles)
+
+    # Augmented query: [-2x, -2y, -2z, 1] so the MXU emits the biased
+    # score ||r||^2 - 2 q.r (see knn_pallas.py).
+    q4 = jnp.concatenate(
+        [-2.0 * query_tiles, jnp.ones((tq, sq, 1), jnp.float32)], axis=2
+    )
+
+    def fold(carry, k):
+        best_s, best_p = carry
+        tid = cand_tiles[:, k]  # (Tq,)
+        r = index.tiles[tid]  # (Tq, S, 3) contiguous-row gather
+        rr = jnp.sum(r * r, axis=2)  # (Tq, S)
+        r4 = jnp.concatenate([r, rr[..., None]], axis=2)  # (Tq, S, 4)
+        score = jnp.einsum("tqc,tsc->tqs", q4, r4)  # (Tq, Sq, S) MXU
+        smin = jnp.min(score, axis=2)
+        sarg = jnp.argmin(score, axis=2).astype(jnp.int32)
+        pos = tid[:, None] * s + sarg  # global sorted position
+        better = smin < best_s
+        return (
+            jnp.where(better, smin, best_s),
+            jnp.where(better, pos, best_p),
+        ), None
+
+    init = (
+        jnp.full((tq, sq), jnp.inf, jnp.float32),
+        jnp.zeros((tq, sq), jnp.int32),
+    )
+    (best_s, best_p), _ = jax.lax.scan(
+        fold, init, jnp.arange(cand_tiles.shape[1]), unroll=True
+    )
+
+    qq = jnp.sum(query_tiles**2, axis=2)
+    d = jnp.maximum(best_s + qq, 0.0).reshape(-1)
+    ridx = index.order[best_p.reshape(-1)]  # (Tq*Sq,) original ids (-1 pad)
+    d = jnp.where(ridx >= 0, d, jnp.inf)
+    return d, jnp.maximum(ridx, 0)
+
+
+def _candidate_tiles(query_tiles: jax.Array, index: TileIndex, k_tiles: int):
+    """Shared candidate-tile selection: (Tq, K) ref tile ids.
+
+    k_tiles is statically clamped to the number of reference tiles (tiny
+    clouds may have fewer tiles than the configured K).
+
+    AABB gap distance dominates (lower-bounds true point distance, robust
+    to sprawling Morton tiles); centroid distance breaks the zero-gap ties
+    of overlapping boxes.
+    """
+    qc_valid = jnp.max(jnp.abs(query_tiles), axis=2) < 1.0e6  # (Tq, Sq)
+    q_lo = jnp.min(
+        jnp.where(qc_valid[..., None], query_tiles, PAD_COORD), axis=1
+    )
+    q_hi = jnp.max(
+        jnp.where(qc_valid[..., None], query_tiles, -PAD_COORD), axis=1
+    )
+    nvalid = jnp.maximum(
+        qc_valid.sum(axis=1, keepdims=True).astype(jnp.float32), 1.0
+    )
+    q_cent = (
+        jnp.where(qc_valid[..., None], query_tiles, 0.0).sum(axis=1) / nvalid
+    )
+    box_d = _box_sqdist(q_lo, q_hi, index.box_lo, index.box_hi)
+    cent_d = (
+        jnp.sum(q_cent**2, axis=1, keepdims=True)
+        + jnp.sum(index.centroids**2, axis=1)[None, :]
+        - 2.0 * q_cent @ index.centroids.T
+    )
+    cd = 100.0 * box_d + jnp.maximum(cent_d, 0.0)
+    _, cand = jax.lax.top_k(-cd, min(k_tiles, index.n_tiles))
+    return cand, q_cent
+
+
+def tile_payload(index: TileIndex, payload: jax.Array) -> jax.Array:
+    """Arrange per-point payload (N, D), original order, into the index's
+    (T, S, D) sorted-tile layout (zeros on padding). Built once so NN
+    queries can return matched payload rows without global gathers."""
+    t, s = index.n_tiles, index.tile_size
+    order = index.order
+    safe = jnp.maximum(order, 0)
+    flat = jnp.where((order >= 0)[:, None], payload[safe], 0.0)
+    return flat.reshape(t, s, payload.shape[1])
+
+
+@partial(jax.jit, static_argnames=("k_tiles",))
+def block_nn_payload(
+    query_tiles: jax.Array,
+    index: TileIndex,
+    payload_tiles: jax.Array,
+    *,
+    k_tiles: int = 8,
+) -> Tuple[jax.Array, jax.Array]:
+    """Like `block_nn` but returns the matched payload row per query
+    instead of an index — the matched row is selected within the winning
+    tile (a small per-tile take_along_axis), eliminating the (N, D)
+    global gathers from the ICP hot loop.
+
+    Returns (sqdist (Tq*Sq,), payload (Tq*Sq, D)); inf distance on pad
+    or miss (payload zeros).
+    """
+    tq, sq, _ = query_tiles.shape
+    d_pl = payload_tiles.shape[2]
+    cand_tiles, _ = _candidate_tiles(query_tiles, index, k_tiles)
+
+    q4 = jnp.concatenate(
+        [-2.0 * query_tiles, jnp.ones((tq, sq, 1), jnp.float32)], axis=2
+    )
+
+    def fold(carry, kk):
+        best_s, best_pl, best_valid = carry
+        tid = cand_tiles[:, kk]
+        r = index.tiles[tid]  # (Tq, S, 3)
+        pl = payload_tiles[tid]  # (Tq, S, D)
+        rvalid = jnp.max(jnp.abs(r), axis=2) < 1.0e6  # (Tq, S)
+        rr = jnp.sum(r * r, axis=2)
+        r4 = jnp.concatenate([r, rr[..., None]], axis=2)
+        score = jnp.einsum("tqc,tsc->tqs", q4, r4)
+        score = jnp.where(rvalid[:, None, :], score, jnp.inf)
+        smin = jnp.min(score, axis=2)  # (Tq, Sq)
+        sarg = jnp.argmin(score, axis=2).astype(jnp.int32)
+        cand_pl = jnp.take_along_axis(
+            pl, sarg[..., None], axis=1
+        )  # (Tq, Sq, D)
+        cand_ok = jnp.take_along_axis(rvalid, sarg, axis=1)
+        better = smin < best_s
+        return (
+            jnp.where(better, smin, best_s),
+            jnp.where(better[..., None], cand_pl, best_pl),
+            jnp.where(better, cand_ok, best_valid),
+        ), None
+
+    init = (
+        jnp.full((tq, sq), jnp.inf, jnp.float32),
+        jnp.zeros((tq, sq, d_pl), jnp.float32),
+        jnp.zeros((tq, sq), bool),
+    )
+    (best_s, best_pl, best_valid), _ = jax.lax.scan(
+        fold, init, jnp.arange(cand_tiles.shape[1]), unroll=True
+    )
+    qq = jnp.sum(query_tiles**2, axis=2)
+    d = jnp.maximum(best_s + qq, 0.0)
+    d = jnp.where(best_valid, d, jnp.inf)
+    return d.reshape(-1), best_pl.reshape(tq * sq, d_pl)
+
+
+@partial(jax.jit, static_argnames=("k_tiles",))
+def block_radius_moments(
+    query_tiles: jax.Array,
+    index: TileIndex,
+    radius: jax.Array,
+    *,
+    k_tiles: int = 8,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Neighborhood moments within `radius` of each query — the gather-free
+    normal-estimation primitive.
+
+    For every query point, accumulates over all candidate-tile points
+    within `radius`:  count, sum(x), sum(x x^T)  — one weighted MXU matmul
+    per candidate tile against a 10-feature expansion (coordinates are
+    tile-centered first, so the E[xx]-E[x]E[x] covariance subtraction is
+    numerically safe in fp32).
+
+    Returns (count (N,), mean (N,3), cov (N,3,3)) with N = Tq*Sq, in
+    sorted-query order; zero count where no neighbors.
+    """
+    tq, sq, _ = query_tiles.shape
+    cand_tiles, q_cent = _candidate_tiles(query_tiles, index, k_tiles)
+    r2 = radius * radius
+
+    # Center everything on the query-tile centroid for conditioning.
+    qc = query_tiles - q_cent[:, None, :]  # (Tq, Sq, 3)
+    q4 = jnp.concatenate(
+        [-2.0 * qc, jnp.ones((tq, sq, 1), jnp.float32)], axis=2
+    )
+    qq = jnp.sum(qc * qc, axis=2)  # (Tq, Sq)
+
+    def fold(carry, kk):
+        moments = carry  # (Tq, Sq, 10)
+        tid = cand_tiles[:, kk]
+        r = index.tiles[tid] - q_cent[:, None, :]  # (Tq, S, 3) centered
+        rvalid = jnp.max(jnp.abs(r), axis=2) < 1.0e6
+        rr = jnp.sum(r * r, axis=2)
+        r4 = jnp.concatenate([r, rr[..., None]], axis=2)
+        score = jnp.einsum("tqc,tsc->tqs", q4, r4)  # ||r||^2 - 2 q.r
+        d = score + qq[..., None]  # true squared distance
+        w = ((d <= r2) & rvalid[:, None, :]).astype(jnp.float32)
+        x, y, z = r[..., 0], r[..., 1], r[..., 2]
+        feat = jnp.stack(
+            [
+                jnp.ones_like(x), x, y, z,
+                x * x, y * y, z * z,
+                x * y, x * z, y * z,
+            ],
+            axis=2,
+        )  # (Tq, S, 10)
+        moments = moments + jnp.einsum("tqs,tsf->tqf", w, feat)
+        return moments, None
+
+    init = jnp.zeros((tq, sq, 10), jnp.float32)
+    moments, _ = jax.lax.scan(
+        fold, init, jnp.arange(cand_tiles.shape[1]), unroll=True
+    )
+
+    m = moments.reshape(tq * sq, 10)
+    cnt = m[:, 0]
+    safe = jnp.maximum(cnt, 1.0)[:, None]
+    mean_c = m[:, 1:4] / safe  # tile-centered mean
+    exx = jnp.stack(
+        [
+            jnp.stack([m[:, 4], m[:, 7], m[:, 8]], axis=1),
+            jnp.stack([m[:, 7], m[:, 5], m[:, 9]], axis=1),
+            jnp.stack([m[:, 8], m[:, 9], m[:, 6]], axis=1),
+        ],
+        axis=1,
+    ) / safe[..., None]
+    cov = exx - mean_c[:, :, None] * mean_c[:, None, :]
+    mean = mean_c + jnp.repeat(q_cent, sq, axis=0)
+    return cnt, mean, cov
+
+
+@partial(jax.jit, static_argnames=("k", "k_tiles"))
+def block_knn(
+    query_tiles: jax.Array,
+    index: TileIndex,
+    k: int,
+    *,
+    k_tiles: int = 8,
+) -> Tuple[jax.Array, jax.Array]:
+    """k nearest neighbors via the tile index (normal-estimation path).
+
+    Returns (sqdists (Tq*Sq, k) ascending, original ref indices). Same
+    candidate-tile semantics as `block_nn`.
+    """
+    tq, sq, _ = query_tiles.shape
+    s = index.tile_size
+    cand_tiles, _ = _candidate_tiles(query_tiles, index, k_tiles)
+
+    q4 = jnp.concatenate(
+        [-2.0 * query_tiles, jnp.ones((tq, sq, 1), jnp.float32)], axis=2
+    )
+
+    def fold(carry, kk):
+        best_s, best_p = carry  # (Tq, Sq, k)
+        tid = cand_tiles[:, kk]
+        r = index.tiles[tid]
+        rr = jnp.sum(r * r, axis=2)
+        r4 = jnp.concatenate([r, rr[..., None]], axis=2)
+        score = jnp.einsum("tqc,tsc->tqs", q4, r4)  # (Tq, Sq, S)
+        cs, cloc = jax.lax.top_k(-score, k)  # (Tq, Sq, k)
+        cpos = tid[:, None, None] * s + cloc
+        all_s = jnp.concatenate([best_s, -cs], axis=2)
+        all_p = jnp.concatenate([best_p, cpos], axis=2)
+        ns, sel = jax.lax.top_k(-all_s, k)
+        return (
+            -ns,
+            jnp.take_along_axis(all_p, sel, axis=2),
+        ), None
+
+    init = (
+        jnp.full((tq, sq, k), jnp.inf, jnp.float32),
+        jnp.zeros((tq, sq, k), jnp.int32),
+    )
+    (best_s, best_p), _ = jax.lax.scan(
+        fold, init, jnp.arange(cand_tiles.shape[1])
+    )
+
+    qq = jnp.sum(query_tiles**2, axis=2)[..., None]
+    d = jnp.maximum(best_s + qq, 0.0).reshape(tq * sq, k)
+    ridx = index.order[best_p.reshape(tq * sq, k)]
+    d = jnp.where(ridx >= 0, d, jnp.inf)
+    return d, jnp.maximum(ridx, 0)
+
+
+def sort_queries(
+    xyz: jax.Array, mask: Optional[jax.Array] = None, *, tile_size: int = 256
+) -> Tuple[jax.Array, jax.Array]:
+    """Morton-sort queries once; returns (query_tiles (Tq,S,3), perm).
+
+    perm maps sorted position -> original row (use to unsort results).
+    Rigid motion preserves the sort's spatial coherence, so ICP calls this
+    once and transforms the sorted copy every iteration.
+    """
+    idx = build_tile_index(xyz, mask, tile_size=tile_size)
+    t, s = idx.n_tiles, idx.tile_size
+    return idx.tiles, idx.order.reshape(-1)

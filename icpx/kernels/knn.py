@@ -118,7 +118,6 @@ def knn(
     return d_out, i_out
 
 
-@partial(jax.jit, static_argnames=("tile_q", "tile_r"))
 def nearest_neighbor(
     query: jax.Array,
     ref: jax.Array,
@@ -126,11 +125,34 @@ def nearest_neighbor(
     ref_mask: Optional[jax.Array] = None,
     tile_q: int = 2048,
     tile_r: int = 4096,
+    use_pallas: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Single nearest neighbor (k=1 fast path: running argmin, no sorts).
+    """Single nearest neighbor (k=1 fast path).
 
-    Returns (sqdist (Nq,), index (Nq,)).
+    Dispatches to the fused Pallas kernel on TPU (default) and to the jnp
+    tiled scan elsewhere. Returns (sqdist (Nq,), index (Nq,)).
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from icpx.kernels.knn_pallas import nn_pallas
+
+        return nn_pallas(query, ref, ref_mask=ref_mask)
+    return _nearest_neighbor_jnp(
+        query, ref, ref_mask=ref_mask, tile_q=tile_q, tile_r=tile_r
+    )
+
+
+@partial(jax.jit, static_argnames=("tile_q", "tile_r"))
+def _nearest_neighbor_jnp(
+    query: jax.Array,
+    ref: jax.Array,
+    *,
+    ref_mask: Optional[jax.Array] = None,
+    tile_q: int = 2048,
+    tile_r: int = 4096,
+) -> Tuple[jax.Array, jax.Array]:
+    """jnp tiled-scan NN (runs anywhere; the CPU-mesh test path)."""
     nq, nr = query.shape[0], ref.shape[0]
     tile_q = min(tile_q, _round_up(nq, 8))
     tile_r = min(tile_r, _round_up(nr, 128))

@@ -6,6 +6,10 @@ k nearest neighbors (self included, matching PCL's kNN semantics), form the
 3x3 neighborhood covariance, and take the smallest-eigenvalue direction via
 the closed-form solver — all batched over the whole cloud, no KD-tree.
 
+Two kNN paths: brute-force (exact, O(N^2), small clouds) and the Morton
+block index (O(N*K*S), the 1M+ path). Neighbors with infinite distance
+(misses, masked refs, k > n) are excluded from the covariance by weight.
+
 Normals are oriented toward the viewpoint (PCL default viewpoint (0,0,0)),
 which is what makes the symmetric objective's n_p + n_q sums coherent
 across the two clouds.
@@ -23,14 +27,18 @@ from icpx.cloud import PointCloud
 from icpx.kernels.eigh3 import smallest_eigenvector_3x3
 from icpx.kernels.knn import knn
 
+_EPS = 1e-12
+BLOCK_THRESHOLD = 32768
 
-@partial(jax.jit, static_argnames=("k",))
+
+@partial(jax.jit, static_argnames=("k", "method"))
 def estimate_normals_xyz(
     xyz: jax.Array,
     mask: Optional[jax.Array] = None,
     *,
     k: int = 10,
     viewpoint=(0.0, 0.0, 0.0),
+    method: str = "auto",
 ) -> Tuple[jax.Array, jax.Array]:
     """Estimate normals for (N, 3) points.
 
@@ -39,29 +47,84 @@ def estimate_normals_xyz(
     """
     n = xyz.shape[0]
     mask = jnp.ones((n,), bool) if mask is None else mask
-    _, idx = knn(xyz, xyz, k, ref_mask=mask)  # (N, k) includes self (d=0)
-    neigh = xyz[idx]  # (N, k, 3)
-    mean = jnp.mean(neigh, axis=1, keepdims=True)
-    centered = neigh - mean
-    cov = jnp.einsum("nki,nkj->nij", centered, centered) / k
-    normal, w = smallest_eigenvector_3x3(cov)
-    total = jnp.maximum(w[..., 0] + w[..., 1] + w[..., 2], 1e-20)
-    curvature = jnp.maximum(w[..., 0], 0.0) / total
-    # Orient toward viewpoint: flip if n . (vp - p) < 0.
-    vp = jnp.asarray(viewpoint, xyz.dtype)
-    flip = jnp.sum(normal * (vp[None, :] - xyz), axis=-1) < 0.0
+    if method == "auto":
+        method = "block" if n >= BLOCK_THRESHOLD else "brute"
+
+    if method == "block":
+        # Radius-based PCA via gather-free moment accumulation: the large-
+        # cloud path (radius ~ k-NN neighborhood scale). PCL offers the
+        # same radius mode (`setRadiusSearch`, cf. rejected alternative at
+        # `myicp.cpp:161`).
+        from icpx.kernels.blocknn import (
+            block_radius_moments,
+            build_tile_index,
+        )
+        from icpx.kernels.voxel import auto_cell_size
+
+        qidx = build_tile_index(xyz, mask, tile_size=64)
+        ridx = build_tile_index(xyz, mask, tile_size=256)
+        radius = auto_cell_size(xyz, mask, scale=3.0)
+        cnt, _, cov = block_radius_moments(qidx.tiles, ridx, radius)
+        q_sorted = qidx.tiles.reshape(-1, 3)
+        normal_s, ev = smallest_eigenvector_3x3(cov)
+        total = jnp.maximum(ev[..., 0] + ev[..., 1] + ev[..., 2], 1e-20)
+        curv_s = jnp.maximum(ev[..., 0], 0.0) / total
+        vp = jnp.asarray(viewpoint, xyz.dtype)
+        flip = jnp.sum(normal_s * (vp[None, :] - q_sorted), axis=-1) < 0.0
+        normal_s = jnp.where(flip[:, None], -normal_s, normal_s)
+        # degenerate neighborhoods (< 3 points in radius): no normal
+        ok = cnt >= 3.0
+        normal_s = jnp.where(ok[:, None], normal_s, 0.0)
+        curv_s = jnp.where(ok, curv_s, 0.0)
+        # unsort: sorted position -> original row (pads dropped)
+        order = qidx.order
+        safe = jnp.where(order >= 0, order, n)
+        normals = (
+            jnp.zeros((n + 1, 3), jnp.float32)
+            .at[safe]
+            .set(normal_s, mode="drop")[:n]
+        )
+        curv = (
+            jnp.zeros((n + 1,), jnp.float32)
+            .at[safe]
+            .set(curv_s, mode="drop")[:n]
+        )
+    else:
+        d2, idx = knn(xyz, xyz, k, ref_mask=mask)
+        normals, curv = _pca_normals(xyz, xyz[idx], d2, viewpoint)
+
+    normals = jnp.where(mask[:, None], normals, 0.0)
+    curv = jnp.where(mask, curv, 0.0)
+    return normals, curv
+
+
+def _pca_normals(query, neigh, d2, viewpoint):
+    """Weighted-PCA normal per query from (N, k, 3) neighbors; neighbors
+    with infinite distance are excluded."""
+    w = jnp.isfinite(d2).astype(jnp.float32)  # (N, k)
+    wsum = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1.0)
+    mean = jnp.sum(neigh * w[..., None], axis=1, keepdims=True) / wsum[..., None]
+    centered = (neigh - mean) * w[..., None]
+    cov = jnp.einsum("nki,nkj->nij", centered, centered) / wsum[..., None]
+    normal, ev = smallest_eigenvector_3x3(cov)
+    total = jnp.maximum(ev[..., 0] + ev[..., 1] + ev[..., 2], 1e-20)
+    curvature = jnp.maximum(ev[..., 0], 0.0) / total
+    vp = jnp.asarray(viewpoint, query.dtype)
+    flip = jnp.sum(normal * (vp[None, :] - query), axis=-1) < 0.0
     normal = jnp.where(flip[:, None], -normal, normal)
-    normal = jnp.where(mask[:, None], normal, 0.0)
-    curvature = jnp.where(mask, curvature, 0.0)
     return normal, curvature
 
 
 def estimate_normals(
-    cloud: PointCloud, *, k: int = 10, viewpoint=(0.0, 0.0, 0.0)
+    cloud: PointCloud,
+    *,
+    k: int = 10,
+    viewpoint=(0.0, 0.0, 0.0),
+    method: str = "auto",
 ) -> PointCloud:
     """Return the cloud with PCA normals attached (k=10 default, matching
     the reference's `setKSearch(10)`)."""
     normals, _ = estimate_normals_xyz(
-        cloud.xyz, cloud.mask, k=k, viewpoint=viewpoint
+        cloud.xyz, cloud.mask, k=k, viewpoint=viewpoint, method=method
     )
     return cloud.replace(normals=normals)

@@ -54,12 +54,29 @@ class ICPConfig:
     robust: str = "none"  # none|huber|tukey|welsch|cauchy
     robust_scale: float = 0.0  # <= 0 -> auto via MAD each iteration
     damping: float = 1e-6
+    # NN search: "brute" = tiled O(N^2) (Pallas-fused on TPU), "block" =
+    # Morton-tiled IVF-style O(N*K*S) (the large-cloud path), "auto" picks
+    # block above `block_auto_threshold` target points.
+    nn_method: str = "auto"
+    block_tile: int = 256  # reference tile size S
+    block_q_tile: int = 64  # query tile size Sq (smaller = tighter boxes)
+    block_k: int = 8
+    block_auto_threshold: int = 32768
     tile_q: int = 2048
     tile_r: int = 4096
 
     def __post_init__(self):
         if self.objective not in OBJECTIVES:
             raise ValueError(f"objective must be one of {OBJECTIVES}")
+        if self.nn_method not in ("auto", "brute", "block"):
+            raise ValueError("nn_method must be auto|brute|block")
+
+    def resolve_nn(self, tgt_capacity: int) -> str:
+        if self.nn_method != "auto":
+            return self.nn_method
+        return (
+            "block" if tgt_capacity >= self.block_auto_threshold else "brute"
+        )
 
 
 @struct.dataclass
@@ -94,43 +111,37 @@ def register(
     return _register_jit(src, tgt, init, config)
 
 
-@partial(jax.jit, static_argnames=("config",))
-def _register_jit(
-    src: PointCloud, tgt: PointCloud, init: SE3, config: ICPConfig
+def _icp_scan(
+    config: ICPConfig,
+    src_xyz: jax.Array,
+    src_mask: jax.Array,
+    src_n: jax.Array,
+    init: SE3,
+    nn_fn,
+    reduce=lambda x: x,
 ) -> ICPResult:
-    src_n = (
-        src.normals
-        if src.normals is not None
-        else jnp.zeros_like(src.xyz)
-    )
-    tgt_n = (
-        tgt.normals
-        if tgt.normals is not None
-        else jnp.zeros_like(tgt.xyz)
-    )
+    """The ICP iteration scan shared by every execution mode.
+
+    `nn_fn(p) -> (q, n_q, dist)` produces matched target rows for the
+    transformed source; `reduce` sums pytrees across a points partition
+    (identity on a single device, psum when sharded).
+    """
 
     def step(carry, _):
         transform, prev_rmse, converged, n_applied = carry
 
-        p = transform.apply(src.xyz)
+        p = transform.apply(src_xyz)
         n_p = transform.rotate(src_n)
-        d2, idx = nearest_neighbor(
-            p,
-            tgt.xyz,
-            ref_mask=tgt.mask,
-            tile_q=config.tile_q,
-            tile_r=config.tile_r,
-        )
-        q = tgt.xyz[idx]
-        n_q = tgt_n[idx]
-        dist = jnp.sqrt(d2)
+        q, n_q, dist = nn_fn(p)
 
-        w = correspondence_weights(config, p, n_p, q, n_q, dist, src.mask)
-        incre = estimate_increment(config, p, q, n_p, n_q, w)
+        w = correspondence_weights(config, p, n_p, q, n_q, dist, src_mask)
+        incre = estimate_increment(config, p, q, n_p, n_q, w, reduce)
         new_transform = incre @ transform
 
         # Post-update diagnostics against the same correspondences.
-        stats = step_stats(config, new_transform.apply(src.xyz), q, dist, src.mask)
+        stats = step_stats(
+            config, new_transform.apply(src_xyz), q, dist, src_mask, reduce
+        )
         diff, rmse, count = stats.diff, stats.rmse, stats.inlier_count
 
         now_converged = (diff < config.diff_threshold) | (
@@ -171,6 +182,77 @@ def _register_jit(
         final_rmse=rmse,
         inlier_count=counts[-1].astype(jnp.int32),
     )
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _register_jit(
+    src: PointCloud, tgt: PointCloud, init: SE3, config: ICPConfig
+) -> ICPResult:
+    src_n = (
+        src.normals
+        if src.normals is not None
+        else jnp.zeros_like(src.xyz)
+    )
+    tgt_n = (
+        tgt.normals
+        if tgt.normals is not None
+        else jnp.zeros_like(tgt.xyz)
+    )
+
+    method = config.resolve_nn(tgt.capacity)
+    if method == "block":
+        from icpx.cloud import PAD_COORD
+        from icpx.kernels.blocknn import (
+            block_nn_payload,
+            build_tile_index,
+            tile_payload,
+        )
+
+        # Morton-sort the source once (rigid motion preserves coherence;
+        # point order is irrelevant to the solve). Sentinel-fill invalid.
+        src_order_idx = build_tile_index(
+            src.xyz, src.mask, tile_size=config.block_q_tile
+        )
+        order = src_order_idx.order
+        valid = order >= 0
+        safe = jnp.maximum(order, 0)
+        src_xyz = jnp.where(valid[:, None], src.xyz[safe], PAD_COORD)
+        src_n_s = jnp.where(valid[:, None], src_n[safe], 0.0)
+        src_mask = valid & src.mask[safe]
+        tgt_index = build_tile_index(
+            tgt.xyz, tgt.mask, tile_size=config.block_tile
+        )
+        # Target coords+normals ride as NN payload: matched rows come back
+        # from the winning tile directly — no global gathers per iteration.
+        payload = tile_payload(
+            tgt_index, jnp.concatenate([tgt.xyz, tgt_n], axis=1)
+        )
+        tq = src_xyz.shape[0] // config.block_q_tile
+
+        def nn_fn(p):
+            d2, pl = block_nn_payload(
+                p.reshape(tq, config.block_q_tile, 3),
+                tgt_index,
+                payload,
+                k_tiles=config.block_k,
+            )
+            return pl[:, :3], pl[:, 3:], jnp.sqrt(d2)
+
+        return _icp_scan(
+            config, src_xyz, src_mask, src_n_s, init, nn_fn
+        )
+
+    def nn_fn(p):
+        d2, idx = nearest_neighbor(
+            p,
+            tgt.xyz,
+            ref_mask=tgt.mask,
+            tile_q=config.tile_q,
+            tile_r=config.tile_r,
+        )
+        return tgt.xyz[idx], tgt_n[idx], jnp.sqrt(d2)
+
+    return _icp_scan(config, src.xyz, src.mask, src_n, init, nn_fn)
 
 
 def register_xyz(

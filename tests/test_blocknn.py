@@ -1,0 +1,107 @@
+"""Block-sparse (Morton-tiled IVF) NN: recall vs brute force, and ICP
+convergence using nn_method="block"."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from icpx.cloud import PointCloud
+from icpx.geometry.se3 import SE3
+from icpx.io.loaders import synthetic_surface
+from icpx.kernels.blocknn import block_nn, build_tile_index, morton_keys
+from icpx.kernels.knn import _nearest_neighbor_jnp
+from icpx.registration.icp import ICPConfig, register
+
+
+def test_build_tile_index_shapes(rng):
+    xyz = rng.normal(size=(1000, 3)).astype(np.float32)
+    idx = build_tile_index(xyz, tile_size=128)
+    assert idx.tiles.shape == (8, 128, 3)
+    order = np.asarray(idx.order)
+    assert sorted(order[order >= 0].tolist()) == list(range(1000))
+
+
+def test_block_nn_recall_surface(rng):
+    r = synthetic_surface(20000, seed=0)
+    q = synthetic_surface(20000, seed=1)
+    ridx = build_tile_index(r, tile_size=256)
+    qidx = build_tile_index(q, tile_size=64)
+    d_v, i_v = block_nn(qidx.tiles, ridx, k_tiles=8)
+    # compare in sorted-query order
+    q_sorted = np.asarray(qidx.tiles).reshape(-1, 3)
+    valid = np.asarray(qidx.order) >= 0
+    d_b, _ = _nearest_neighbor_jnp(jnp.asarray(q_sorted), jnp.asarray(r))
+    d_v, d_b = np.asarray(d_v)[valid], np.asarray(d_b)[valid]
+    miss = (d_v > d_b + 1e-6).mean()
+    # misses return genuine (larger) distances; robust ICP absorbs ~1%
+    assert miss < 0.01, f"miss rate {miss}"
+    # and the missed ones are still close (within ~4x the true distance)
+    ratio = np.sqrt(d_v[d_v > d_b + 1e-6] / np.maximum(d_b[d_v > d_b + 1e-6], 1e-12))
+    if len(ratio):
+        assert np.median(ratio) < 4.0
+
+
+def test_block_nn_volume_recall(rng):
+    r = rng.uniform(-1, 1, (30000, 3)).astype(np.float32)
+    q = rng.uniform(-1, 1, (10000, 3)).astype(np.float32)
+    ridx = build_tile_index(r, tile_size=256)
+    qidx = build_tile_index(q, tile_size=64)
+    d_v, i_v = block_nn(qidx.tiles, ridx, k_tiles=8)
+    valid = np.asarray(qidx.order) >= 0
+    d_b, _ = _nearest_neighbor_jnp(
+        jnp.asarray(np.asarray(qidx.tiles).reshape(-1, 3)), jnp.asarray(r)
+    )
+    miss = (np.asarray(d_v)[valid] > np.asarray(d_b)[valid] + 1e-6).mean()
+    # uniform volumes are the worst case for tile selection
+    assert miss < 0.08, f"miss rate {miss}"
+
+
+def test_block_nn_indices_are_original(rng):
+    r = rng.normal(size=(5000, 3)).astype(np.float32)
+    ridx = build_tile_index(r, tile_size=256)
+    qidx = build_tile_index(r, tile_size=256)  # self query
+    d, i = block_nn(qidx.tiles, ridx, k_tiles=4)
+    valid = np.asarray(qidx.order) >= 0
+    # each sorted query is its own NN: returned index must be the original id
+    expect = np.asarray(qidx.order)[valid]
+    assert np.array_equal(np.asarray(i)[valid], expect)
+    assert np.allclose(np.asarray(d)[valid], 0.0, atol=1e-6)
+
+
+def test_icp_with_block_nn_converges():
+    n = 4096
+    xyz = synthetic_surface(n, seed=0)
+    src = PointCloud.create(xyz)
+    gt = SE3.from_axis_angle(
+        jnp.asarray([0.1, 0.2, 0.974]) / np.linalg.norm([0.1, 0.2, 0.974]),
+        0.2,
+        jnp.asarray([0.1, -0.05, 0.06]),
+    )
+    rng = np.random.default_rng(1)
+    tgt = PointCloud.create(
+        np.asarray(gt.apply(src.xyz))[:n][rng.permutation(n)]
+    )
+    cfg = ICPConfig(
+        objective="symmetric",
+        max_iters=15,
+        diff_threshold=1e-4,
+        nn_method="block",
+    )
+    res = register(src, tgt, cfg)
+    rot_err, t_err = res.transform.distance_to(gt)
+    assert float(rot_err) < 3e-3 and float(t_err) < 3e-3
+
+
+def test_morton_locality():
+    """Morton-adjacent points are spatially close on average."""
+    rng = np.random.default_rng(0)
+    xyz = rng.uniform(0, 1, (4096, 3)).astype(np.float32)
+    keys = np.asarray(
+        morton_keys(
+            jnp.asarray(xyz), jnp.zeros(3), jnp.ones(3)
+        )
+    )
+    order = np.argsort(keys)
+    s = xyz[order]
+    step = np.linalg.norm(np.diff(s, axis=0), axis=1).mean()
+    rand_step = np.linalg.norm(np.diff(xyz, axis=0), axis=1).mean()
+    assert step < rand_step * 0.35
