@@ -14,6 +14,14 @@ import jax.numpy as jnp
 from flax import struct
 
 _EPS = 1e-9
+# Tiny bias inside sqrt so norms are differentiable at 0 (autodiff of
+# ||x|| at x=0 is NaN otherwise; exp/log get jacfwd'd at zero twists by
+# the pose-graph linearization). Primal error is sqrt(1e-24) = 1e-12.
+_NORM_TINY = 1e-24
+
+
+def _safe_norm(x, axis=-1, keepdims=False):
+    return jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=keepdims) + _NORM_TINY)
 
 
 @struct.dataclass
@@ -55,7 +63,7 @@ class SE3:
     def exp(cls, twist: jax.Array) -> "SE3":
         """SE(3) exponential of a (..., 6) twist [omega, v]."""
         omega, v = twist[..., :3], twist[..., 3:]
-        theta = jnp.linalg.norm(omega, axis=-1, keepdims=True)
+        theta = _safe_norm(omega, keepdims=True)
         K = skew(omega / jnp.maximum(theta, _EPS))
         th = theta[..., None]
         s, c = jnp.sin(th), jnp.cos(th)
@@ -73,7 +81,7 @@ class SE3:
     def log(self) -> jax.Array:
         """(..., 6) twist [omega, v] with SE3.exp(log(T)) == T."""
         omega = rotation_log(self.R)
-        theta = jnp.linalg.norm(omega, axis=-1, keepdims=True)
+        theta = _safe_norm(omega, keepdims=True)
         K = skew(omega / jnp.maximum(theta, _EPS))
         th = theta[..., None]
         half = 0.5 * th
@@ -177,10 +185,14 @@ def rotation_from_axis_angle(axis, angle) -> jax.Array:
 
 
 def rotation_log(R: jax.Array) -> jax.Array:
-    """SO(3) log map -> (..., 3) rotation vector. Safe near 0 and pi."""
+    """SO(3) log map -> (..., 3) rotation vector.
+
+    Safe near 0 and pi, including under autodiff: theta comes from atan2
+    (finite derivatives at identity, unlike arccos whose derivative blows
+    up at cos=1) with a guarded norm for the skew part.
+    """
     tr = jnp.trace(R, axis1=-2, axis2=-1)
     cos_theta = jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
     # Generic: omega_hat = θ/(2 sinθ) (R - Rᵀ)
     w = jnp.stack(
         [
@@ -190,7 +202,8 @@ def rotation_log(R: jax.Array) -> jax.Array:
         ],
         axis=-1,
     )
-    sin_theta = jnp.sin(theta)
+    sin_theta = 0.5 * _safe_norm(w)
+    theta = jnp.arctan2(sin_theta, cos_theta)
     scale = jnp.where(
         theta[..., None] < 1e-5,
         0.5 + theta[..., None] ** 2 / 12.0,  # series of θ/(2 sinθ)

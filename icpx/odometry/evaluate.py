@@ -1,0 +1,65 @@
+"""Trajectory evaluation: ATE and RPE (standard odometry metrics).
+
+The reference has no quantitative evaluation beyond printing a transform
+(`myicp.cpp:146-149`); these are the formal replacements used by the
+bench/odometry configs (BASELINE.md schema's `ate`).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from icpx.geometry.se3 import SE3
+from icpx.registration.horn import umeyama_align
+
+
+def _stack(poses: Sequence[SE3]) -> SE3:
+    if isinstance(poses, SE3):
+        return poses
+    return SE3(
+        R=jnp.stack([p.R for p in poses]), t=jnp.stack([p.t for p in poses])
+    )
+
+
+def ate_rmse(
+    est: Sequence[SE3], gt: Sequence[SE3], *, align: bool = True
+) -> float:
+    """Absolute trajectory error: RMSE of position residuals after an
+    optional SE(3) (Umeyama, scale fixed to 1) alignment."""
+    est_s, gt_s = _stack(est), _stack(gt)
+    p, q = est_s.t, gt_s.t
+    if align:
+        T = umeyama_align(p, q)[0]
+        p = T.apply(p)
+    err = np.asarray(jnp.linalg.norm(p - q, axis=-1))
+    return float(np.sqrt((err**2).mean()))
+
+
+def rpe(
+    est: Sequence[SE3], gt: Sequence[SE3], *, delta: int = 1
+) -> Tuple[float, float]:
+    """Relative pose error over `delta`-frame intervals.
+
+    Returns (translation RMSE, rotation RMSE in radians).
+    """
+    est_s, gt_s = _stack(est), _stack(gt)
+    m = est_s.t.shape[0]
+    if m <= delta:
+        return 0.0, 0.0
+    idx_a = jnp.arange(0, m - delta)
+    idx_b = idx_a + delta
+
+    def rel(T: SE3, a, b) -> SE3:
+        Ta = SE3(R=T.R[a], t=T.t[a])
+        Tb = SE3(R=T.R[b], t=T.t[b])
+        return Ta.inverse() @ Tb
+
+    rel_est = rel(est_s, idx_a, idx_b)
+    rel_gt = rel(gt_s, idx_a, idx_b)
+    err = rel_gt.inverse() @ rel_est
+    t_err = np.asarray(jnp.linalg.norm(err.t, axis=-1))
+    r_err = np.asarray(err.rotation_angle())
+    return float(np.sqrt((t_err**2).mean())), float(np.sqrt((r_err**2).mean()))

@@ -1,0 +1,139 @@
+"""Scan-to-keyframe odometry frontend.
+
+The reference registers exactly one pair per process run (`main.cpp:8-10`);
+this is the multi-scan extension (SURVEY §7 layer 5): sequential scans are
+registered against the current keyframe with a constant-velocity initial
+guess, new keyframes spawn when motion exceeds thresholds, and
+keyframe-to-keyframe relative transforms accumulate into pose-graph edges
+for the backend (`icpx.odometry.posegraph`).
+
+All frames must share one capacity so every registration reuses the same
+compiled executable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icpx.cloud import PointCloud
+from icpx.geometry.se3 import SE3
+from icpx.kernels.normals import estimate_normals
+from icpx.registration.icp import ICPConfig, ICPResult, register
+from icpx.registration.pyramid import PyramidConfig, register_pyramid
+
+
+@dataclasses.dataclass(frozen=True)
+class OdometryConfig:
+    icp: ICPConfig = ICPConfig(
+        objective="symmetric",
+        max_iters=12,
+        diff_threshold=0.0,
+        rmse_change_tol=1e-6,
+        robust="huber",
+    )
+    pyramid_levels: int = 1  # 1 = single resolution
+    pyramid_subsample: int = 4
+    keyframe_trans: float = 0.5  # spawn keyframe beyond this motion
+    keyframe_rot: float = 0.15  # radians
+    constant_velocity_init: bool = True
+
+
+@dataclasses.dataclass
+class OdometryResult:
+    poses: List[SE3]  # world_T_frame per input frame
+    is_keyframe: List[bool]
+    rmse: List[float]
+    # pose-graph edges between consecutive keyframes:
+    edges: List[Tuple[int, int, SE3]]  # (frame_i, frame_j, i_T_j)
+    keyframe_indices: List[int]
+
+
+def _register_pair(
+    src: PointCloud, tgt: PointCloud, cfg: OdometryConfig, init: SE3
+) -> ICPResult:
+    if cfg.pyramid_levels > 1:
+        res, _ = register_pyramid(
+            src,
+            tgt,
+            PyramidConfig(
+                levels=cfg.pyramid_levels,
+                subsample=cfg.pyramid_subsample,
+                base=cfg.icp,
+            ),
+            init=init,
+        )
+        return res
+    return register(src, tgt, cfg.icp, init=init)
+
+
+def run_odometry(
+    frames: Sequence[PointCloud], config: OdometryConfig = OdometryConfig()
+) -> OdometryResult:
+    """Sequential odometry over sensor-frame scans.
+
+    Returns world poses with pose[0] = identity (world = first frame).
+    """
+    if len(frames) == 0:
+        return OdometryResult([], [], [], [], [])
+
+    # Pre-compute normals once per frame (each frame serves as src and
+    # possibly tgt later).
+    frames = [
+        f if f.normals is not None else estimate_normals(f, k=config.icp.k_normals)
+        for f in frames
+    ]
+
+    poses: List[SE3] = [SE3.identity()]
+    is_kf = [True]
+    rmses = [0.0]
+    edges: List[Tuple[int, int, SE3]] = []
+    kf_indices = [0]
+
+    kf_cloud = frames[0]
+    kf_pose = SE3.identity()
+    kf_index = 0
+    # kf_T_frame of the previous frame, and the last inter-frame delta.
+    prev_rel = SE3.identity()
+    velocity = SE3.identity()
+
+    for k in range(1, len(frames)):
+        init = prev_rel @ velocity if config.constant_velocity_init else prev_rel
+        res = _register_pair(frames[k], kf_cloud, config, init)
+        rel = res.transform  # kf_T_frame
+        pose = kf_pose @ rel
+        poses.append(pose)
+        rmses.append(float(res.final_rmse))
+        velocity = prev_rel.inverse() @ rel
+
+        trans = float(jnp.linalg.norm(rel.t))
+        rot = float(rel.rotation_angle())
+        if trans > config.keyframe_trans or rot > config.keyframe_rot:
+            edges.append((kf_index, k, rel))
+            kf_cloud = frames[k]
+            kf_pose = pose
+            kf_index = k
+            kf_indices.append(k)
+            is_kf.append(True)
+            prev_rel = SE3.identity()
+            # velocity stays in the previous keyframe's frame scale; the
+            # relative motion magnitude carries over well enough.
+        else:
+            is_kf.append(False)
+            prev_rel = rel
+
+    # close the final segment so the pose graph spans the whole run
+    if kf_index != len(frames) - 1:
+        edges.append((kf_index, len(frames) - 1, prev_rel))
+
+    return OdometryResult(
+        poses=poses,
+        is_keyframe=is_kf,
+        rmse=rmses,
+        edges=edges,
+        keyframe_indices=kf_indices,
+    )

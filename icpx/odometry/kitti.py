@@ -1,0 +1,139 @@
+"""KITTI odometry dataset ingest + the synthetic LiDAR simulator used when
+the dataset is absent (zero-egress environments, CI).
+
+KITTI formats: velodyne scans are raw float32 (x, y, z, reflectance)
+quadruples per point; ground-truth poses are 3x4 row-major matrices, one
+line per frame (the `poses/XX.txt` files).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from icpx.cloud import PointCloud
+from icpx.geometry.se3 import SE3
+
+
+def load_kitti_scan(path) -> np.ndarray:
+    """One velodyne .bin -> (N, 3) float32 xyz."""
+    raw = np.fromfile(path, dtype=np.float32)
+    return raw.reshape(-1, 4)[:, :3]
+
+
+def load_kitti_sequence(
+    velodyne_dir,
+    *,
+    max_frames: Optional[int] = None,
+    capacity: Optional[int] = None,
+    subsample: int = 1,
+) -> List[PointCloud]:
+    """Load scans from a KITTI velodyne directory into same-capacity
+    clouds (shared capacity -> one compiled registration executable)."""
+    files = sorted(Path(velodyne_dir).glob("*.bin"))
+    if max_frames is not None:
+        files = files[:max_frames]
+    scans = [load_kitti_scan(f)[::subsample] for f in files]
+    if capacity is None:
+        cap = max(s.shape[0] for s in scans)
+        cap = ((cap + 127) // 128) * 128
+    else:
+        cap = capacity
+    return [PointCloud.create(s[:cap], capacity=cap) for s in scans]
+
+
+def load_kitti_poses(path) -> List[SE3]:
+    """KITTI poses file (12 floats per line, 3x4 row-major) -> SE3 list."""
+    import jax.numpy as jnp
+
+    poses = []
+    for line in open(path):
+        vals = [float(v) for v in line.split()]
+        if len(vals) != 12:
+            continue
+        m = np.asarray(vals, np.float32).reshape(3, 4)
+        poses.append(SE3(R=jnp.asarray(m[:, :3]), t=jnp.asarray(m[:, 3])))
+    return poses
+
+
+# ---- synthetic LiDAR simulator ----------------------------------------------
+
+
+def make_world(
+    n_points: int = 200000, extent: float = 60.0, seed: int = 0
+) -> np.ndarray:
+    """Synthetic outdoor-ish world: undulating ground + scattered vertical
+    structures (posts/walls), (N, 3) float32."""
+    rng = np.random.default_rng(seed)
+    n_ground = int(n_points * 0.7)
+    g_xy = rng.uniform(-extent, extent, (n_ground, 2)).astype(np.float32)
+    g_z = (
+        1.5 * np.sin(0.08 * g_xy[:, 0]) * np.cos(0.06 * g_xy[:, 1])
+        + 0.2 * np.sin(0.5 * g_xy[:, 1])
+    ).astype(np.float32)
+    ground = np.column_stack([g_xy, g_z])
+
+    n_struct = n_points - n_ground
+    n_posts = 60
+    centers = rng.uniform(-extent, extent, (n_posts, 2)).astype(np.float32)
+    sizes = rng.uniform(0.3, 3.0, n_posts).astype(np.float32)
+    heights = rng.uniform(2.0, 8.0, n_posts).astype(np.float32)
+    per = n_struct // n_posts
+    pts = []
+    for c, s, h in zip(centers, sizes, heights):
+        local = rng.uniform(-1, 1, (per, 2)).astype(np.float32) * s
+        z = rng.uniform(0, h, per).astype(np.float32)
+        pts.append(np.column_stack([c[None, :] + local, z]))
+    struct = np.concatenate(pts)[: n_struct]
+    return np.concatenate([ground, struct]).astype(np.float32)
+
+
+def make_trajectory(
+    n_frames: int, *, speed: float = 1.0, turn: float = 0.02
+) -> List[SE3]:
+    """Smooth curving trajectory in the world frame (world_T_frame)."""
+    import jax.numpy as jnp
+
+    poses = []
+    x, y, yaw = 0.0, 0.0, 0.0
+    for k in range(n_frames):
+        c, s = np.cos(yaw), np.sin(yaw)
+        R = np.asarray(
+            [[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]], np.float32
+        )
+        poses.append(SE3(R=jnp.asarray(R), t=jnp.asarray([x, y, 1.5], jnp.float32)))
+        x += speed * np.cos(yaw)
+        y += speed * np.sin(yaw)
+        yaw += turn * (1.0 + 0.5 * np.sin(0.15 * k))
+    return poses
+
+
+def simulate_scans(
+    world: np.ndarray,
+    trajectory: Sequence[SE3],
+    *,
+    max_range: float = 25.0,
+    points_per_scan: int = 8192,
+    noise: float = 0.01,
+    seed: int = 0,
+) -> List[PointCloud]:
+    """Sensor-frame scans: world points within range of each pose, moved
+    into the sensor frame, subsampled to a fixed budget + noise."""
+    rng = np.random.default_rng(seed)
+    frames = []
+    cap = ((points_per_scan + 127) // 128) * 128
+    for pose in trajectory:
+        center = np.asarray(pose.t)
+        d2 = ((world - center[None, :]) ** 2).sum(1)
+        near = np.where(d2 < max_range * max_range)[0]
+        if len(near) > points_per_scan:
+            near = rng.choice(near, points_per_scan, replace=False)
+        pts_w = world[near]
+        inv = pose.inverse()
+        pts_s = np.asarray(inv.apply(pts_w))
+        pts_s = pts_s + rng.normal(0, noise, pts_s.shape).astype(np.float32)
+        frames.append(PointCloud.create(pts_s.astype(np.float32), capacity=cap))
+    return frames
