@@ -1,0 +1,336 @@
+"""`icpx` command-line interface.
+
+Replaces the reference's four alternate `main()`s, which are switched via
+MSBuild ExcludedFromBuild flags (`ICP.vcxproj:133-145`), with subcommands:
+
+  register  — the active demo (`main.cpp:5-68` / `MyICP::RegisterSymm`)
+  horn      — closed-form fit with aligned rows (`register-test.cpp`)
+  convert   — txt/pcd/ply conversion (`test.cpp`, C3a)
+  perturb   — rigid-transform fixture generator (`matrix-transform.cpp`, C3b)
+  odometry  — multi-scan extension (no reference analogue)
+  info      — cloud stats
+  bench     — throughput harness (BASELINE.md schema)
+
+Every hard-coded reference constant is a flag with the reference value as
+its default (SURVEY §5.6).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+from pathlib import Path
+
+
+def _add_icp_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--objective", default="symmetric",
+                   choices=["symmetric", "p2plane", "p2p"])
+    p.add_argument("--max-iters", type=int, default=10,
+                   help="outer iterations (reference: 10, myicp.cpp:6)")
+    p.add_argument("--diff-threshold", type=float, default=1.0,
+                   help="evalDiff sum threshold (reference: 1.0)")
+    p.add_argument("--k-normals", type=int, default=10,
+                   help="normal-estimation k (reference: 10)")
+    p.add_argument("--max-corr-dist", type=float, default=float("inf"))
+    p.add_argument("--robust", default="none",
+                   choices=["none", "huber", "tukey", "welsch", "cauchy"])
+    p.add_argument("--nn", default="auto", choices=["auto", "brute", "block"])
+    p.add_argument("--pyramid-levels", type=int, default=1)
+    p.add_argument("--config", type=Path, default=None,
+                   help="JSON file of ICPConfig overrides")
+
+
+def _icp_config(args):
+    from icpx.registration.icp import ICPConfig
+
+    overrides = {}
+    if args.config:
+        overrides = json.loads(Path(args.config).read_text())
+    cfg = ICPConfig(
+        objective=args.objective,
+        max_iters=args.max_iters,
+        diff_threshold=args.diff_threshold,
+        k_normals=args.k_normals,
+        max_corr_dist=args.max_corr_dist,
+        robust=args.robust,
+        nn_method=args.nn,
+    )
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+    return cfg
+
+
+def cmd_register(args) -> int:
+    import jax
+
+    from icpx.geometry.transforms import transform_cloud
+    from icpx.io import load_cloud, save_cloud
+    from icpx.registration.icp import format_trace, register
+    from icpx.registration.pyramid import PyramidConfig, register_pyramid
+    from icpx.utils.metrics import MetricsLogger, icp_iteration_records
+
+    src = load_cloud(args.src)
+    tgt = load_cloud(args.tgt)
+    cfg = _icp_config(args)
+    if args.pyramid_levels > 1:
+        res, _ = register_pyramid(
+            src, tgt, PyramidConfig(levels=args.pyramid_levels, base=cfg)
+        )
+    else:
+        res = register(src, tgt, cfg)
+    jax.block_until_ready(res)
+    print(format_trace(res))
+    m = res.transform.matrix()
+    print("transform:")
+    for row in jax.device_get(m):
+        print("  " + " ".join(f"{v: .6f}" for v in row))
+    if args.metrics:
+        with MetricsLogger(args.metrics) as ml:
+            for rec in icp_iteration_records(res):
+                ml.log(event="icp_iter", **rec)
+            ml.log(
+                event="icp_done",
+                converged=bool(res.converged),
+                rmse=float(res.final_rmse),
+                inliers=int(res.inlier_count),
+            )
+    if args.out:
+        save_cloud(args.out, transform_cloud(src, res.transform))
+        print(f"aligned cloud -> {args.out}")
+    if args.render:
+        from icpx.viz import render_clouds
+
+        render_clouds(
+            args.render,
+            [transform_cloud(src, res.transform), tgt],
+            ["aligned src", "tgt"],
+            title=f"rmse={float(res.final_rmse):.4g}",
+        )
+        print(f"render -> {args.render}")
+    return 0
+
+
+def cmd_horn(args) -> int:
+    import jax
+
+    from icpx.io import load_cloud
+    from icpx.registration.horn import horn_align
+
+    src = load_cloud(args.src)
+    tgt = load_cloud(args.tgt)
+    est = horn_align(src.xyz, tgt.xyz, weights=src.mask.astype("float32"))
+    print("R:")
+    for row in jax.device_get(est.R):
+        print("  " + " ".join(f"{v: .6f}" for v in row))
+    print("t: " + " ".join(f"{v: .6f}" for v in jax.device_get(est.t)))
+    return 0
+
+
+def cmd_convert(args) -> int:
+    from icpx.io import load_cloud, save_cloud
+
+    cloud = load_cloud(args.input)
+    save_cloud(args.output, cloud, binary=args.binary)
+    print(f"{args.input} -> {args.output} ({int(cloud.num_valid())} points)")
+    return 0
+
+
+def cmd_perturb(args) -> int:
+    import jax.numpy as jnp
+
+    from icpx.geometry.transforms import make_rigid_perturbation, transform_cloud
+    from icpx.io import load_cloud, save_cloud
+
+    cloud = load_cloud(args.input)
+    gt = make_rigid_perturbation(
+        axis=tuple(args.axis),
+        angle=args.angle,
+        translation=tuple(args.translate),
+    )
+    out = transform_cloud(cloud, gt)
+    if args.noise > 0:
+        import numpy as np
+
+        rng = np.random.default_rng(args.seed)
+        noisy = np.asarray(out.xyz) + rng.normal(0, args.noise, out.xyz.shape)
+        out = out.with_xyz(jnp.asarray(noisy, jnp.float32))
+    save_cloud(args.output, out)
+    print(f"perturbed ({args.angle} rad about {args.axis}, t={args.translate})"
+          f" -> {args.output}")
+    return 0
+
+
+def cmd_odometry(args) -> int:
+    from icpx.odometry.evaluate import ate_rmse, rpe
+    from icpx.odometry.frontend import OdometryConfig, run_odometry
+    from icpx.registration.icp import ICPConfig
+    from icpx.utils.checkpoint import OdometryCheckpoint
+    from icpx.utils.metrics import MetricsLogger
+
+    if args.synthetic:
+        from icpx.odometry.kitti import (
+            make_trajectory,
+            make_world,
+            simulate_scans,
+        )
+
+        world = make_world(seed=args.seed)
+        gt = make_trajectory(args.frames)
+        frames = simulate_scans(
+            world, gt, points_per_scan=args.points_per_scan, seed=args.seed
+        )
+    else:
+        from icpx.odometry.kitti import load_kitti_poses, load_kitti_sequence
+
+        frames = load_kitti_sequence(
+            args.velodyne_dir,
+            max_frames=args.frames,
+            subsample=args.subsample,
+        )
+        gt = load_kitti_poses(args.poses) if args.poses else None
+
+    cfg = OdometryConfig(
+        icp=ICPConfig(
+            objective=args.objective,
+            max_iters=args.max_iters,
+            diff_threshold=0.0,
+            rmse_change_tol=1e-6,
+            robust="huber",
+            max_corr_dist=args.max_corr_dist,
+        ),
+        keyframe_trans=args.keyframe_trans,
+        keyframe_rot=args.keyframe_rot,
+    )
+    res = run_odometry(frames, cfg)
+    print(f"{len(res.poses)} frames, {len(res.keyframe_indices)} keyframes, "
+          f"{len(res.edges)} edges")
+    if gt is not None:
+        ate = ate_rmse(res.poses, gt[: len(res.poses)])
+        t_rpe, r_rpe = rpe(res.poses, gt[: len(res.poses)])
+        print(f"ATE {ate:.4f} m   RPE {t_rpe:.4f} m / {r_rpe:.5f} rad")
+    if args.metrics:
+        with MetricsLogger(args.metrics) as ml:
+            for k, (p, r) in enumerate(zip(res.poses, res.rmse)):
+                ml.log(event="frame", frame=k, rmse=r,
+                       keyframe=bool(res.is_keyframe[k]))
+    if args.checkpoint:
+        import numpy as np
+
+        ck = OdometryCheckpoint(
+            frame_index=len(res.poses) - 1,
+            poses_R=np.stack([np.asarray(p.R) for p in res.poses]),
+            poses_t=np.stack([np.asarray(p.t) for p in res.poses]),
+            keyframe_index=res.keyframe_indices[-1],
+            edges=[
+                (i, j, np.asarray(T.R), np.asarray(T.t))
+                for (i, j, T) in res.edges
+            ],
+        )
+        ck.save(args.checkpoint)
+        print(f"checkpoint -> {args.checkpoint}")
+    if args.render:
+        from icpx.viz import render_trajectory
+
+        render_trajectory(args.render, res.poses, gt)
+        print(f"render -> {args.render}")
+    return 0
+
+
+def cmd_info(args) -> int:
+    import jax
+
+    from icpx.io import load_cloud
+
+    cloud = load_cloud(args.input)
+    n = int(cloud.num_valid())
+    ext = float(jax.device_get(cloud.extent()))
+    c = jax.device_get(cloud.centroid())
+    print(f"{args.input}: {n} points, capacity {cloud.capacity}, "
+          f"extent {ext:.4g}, centroid ({c[0]:.4g}, {c[1]:.4g}, {c[2]:.4g}), "
+          f"normals={'yes' if cloud.normals is not None else 'no'}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench as bench_mod  # repo-root harness
+
+    sys.argv = ["bench.py"] + (args.bench_args or [])
+    bench_mod.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="icpx",
+        description="TPU-native point-cloud registration & odometry engine",
+    )
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("register", help="pairwise ICP registration")
+    p.add_argument("src")
+    p.add_argument("tgt")
+    p.add_argument("--out", default=None, help="save aligned source cloud")
+    p.add_argument("--render", default=None, help="save PNG snapshot")
+    p.add_argument("--metrics", default=None, help="JSONL metrics path")
+    _add_icp_flags(p)
+    p.set_defaults(fn=cmd_register)
+
+    p = sub.add_parser("horn", help="closed-form fit (index-aligned rows)")
+    p.add_argument("src")
+    p.add_argument("tgt")
+    p.set_defaults(fn=cmd_horn)
+
+    p = sub.add_parser("convert", help="convert between pcd/ply/txt")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--binary", action="store_true")
+    p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser("perturb", help="apply a known rigid perturbation")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--angle", type=float, default=0.7853981633974483,
+                   help="radians (reference: pi/4)")
+    p.add_argument("--axis", type=float, nargs=3, default=[0.0, 0.0, 1.0])
+    p.add_argument("--translate", type=float, nargs=3, default=[2.5, 0.0, 0.0])
+    p.add_argument("--noise", type=float, default=0.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_perturb)
+
+    p = sub.add_parser("odometry", help="multi-scan odometry")
+    p.add_argument("--velodyne-dir", default=None)
+    p.add_argument("--poses", default=None, help="KITTI poses file (GT)")
+    p.add_argument("--synthetic", action="store_true",
+                   help="simulated LiDAR sequence instead of a dataset")
+    p.add_argument("--frames", type=int, default=20)
+    p.add_argument("--points-per-scan", type=int, default=8192)
+    p.add_argument("--subsample", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--objective", default="symmetric")
+    p.add_argument("--max-iters", type=int, default=12)
+    p.add_argument("--max-corr-dist", type=float, default=2.0)
+    p.add_argument("--keyframe-trans", type=float, default=1.0)
+    p.add_argument("--keyframe-rot", type=float, default=0.2)
+    p.add_argument("--metrics", default=None)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--render", default=None)
+    p.set_defaults(fn=cmd_odometry)
+
+    p = sub.add_parser("info", help="cloud stats")
+    p.add_argument("input")
+    p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("bench", help="run the benchmark harness")
+    p.add_argument("bench_args", nargs="*")
+    p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    if args.command == "odometry" and not args.synthetic and not args.velodyne_dir:
+        ap.error("odometry needs --velodyne-dir or --synthetic")
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

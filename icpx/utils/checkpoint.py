@@ -1,0 +1,110 @@
+"""Checkpoint / resume (SURVEY §5.4 — absent in the reference).
+
+Saves arbitrary pytrees of arrays (odometry state: poses, pose-graph
+edges, keyframe clouds, RNG keys, iteration counters) as an .npz with a
+JSON-encoded treedef manifest — dependency-free and portable. A restarted
+odometry job resumes from the last saved frame (`OdometryCheckpoint`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from icpx.geometry.se3 import SE3
+
+
+def save_checkpoint(path, pytree) -> None:
+    """Save a pytree of arrays. Containers: dict/list/tuple/SE3/dataclass
+    pytrees registered with jax."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    leaves, treedef = jax.tree_util.tree_flatten(pytree)
+    arrays = {f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)}
+    manifest = {"treedef": str(treedef), "n_leaves": len(leaves)}
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    np.savez_compressed(
+        tmp, __manifest__=json.dumps(manifest), **arrays
+    )
+    # np.savez appends .npz to the tmp name
+    tmp_real = tmp if tmp.exists() else tmp.with_suffix(tmp.suffix + ".npz")
+    os.replace(tmp_real, path)
+
+
+def load_checkpoint(path, like) -> Any:
+    """Load a checkpoint saved by `save_checkpoint` into the structure of
+    `like` (an example pytree with the same treedef)."""
+    with np.load(Path(path), allow_pickle=False) as z:
+        n = json.loads(str(z["__manifest__"]))["n_leaves"]
+        leaves = [z[f"leaf_{i}"] for i in range(n)]
+    treedef = jax.tree_util.tree_structure(like)
+    if treedef.num_leaves != n:
+        raise ValueError(
+            f"checkpoint has {n} leaves, template has {treedef.num_leaves}"
+        )
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+@dataclasses.dataclass
+class OdometryCheckpoint:
+    """Resumable odometry state (host-side container)."""
+
+    frame_index: int
+    poses_R: np.ndarray  # (M, 3, 3)
+    poses_t: np.ndarray  # (M, 3)
+    keyframe_index: int
+    edges: List[Tuple[int, int, np.ndarray, np.ndarray]]  # (i, j, R, t)
+
+    def save(self, path) -> None:
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        np.savez_compressed(
+            path,
+            frame_index=self.frame_index,
+            poses_R=self.poses_R,
+            poses_t=self.poses_t,
+            keyframe_index=self.keyframe_index,
+            edge_i=np.asarray([e[0] for e in self.edges], np.int32),
+            edge_j=np.asarray([e[1] for e in self.edges], np.int32),
+            edge_R=(
+                np.stack([e[2] for e in self.edges])
+                if self.edges
+                else np.zeros((0, 3, 3), np.float32)
+            ),
+            edge_t=(
+                np.stack([e[3] for e in self.edges])
+                if self.edges
+                else np.zeros((0, 3), np.float32)
+            ),
+        )
+
+    @classmethod
+    def load(cls, path) -> "OdometryCheckpoint":
+        with np.load(Path(path)) as z:
+            edges = [
+                (int(i), int(j), R, t)
+                for i, j, R, t in zip(
+                    z["edge_i"], z["edge_j"], z["edge_R"], z["edge_t"]
+                )
+            ]
+            return cls(
+                frame_index=int(z["frame_index"]),
+                poses_R=z["poses_R"],
+                poses_t=z["poses_t"],
+                keyframe_index=int(z["keyframe_index"]),
+                edges=edges,
+            )
+
+    def poses(self) -> List[SE3]:
+        import jax.numpy as jnp
+
+        return [
+            SE3(R=jnp.asarray(R), t=jnp.asarray(t))
+            for R, t in zip(self.poses_R, self.poses_t)
+        ]

@@ -1,0 +1,90 @@
+"""CLI subcommands exercised in-process (argparse -> handlers)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from icpx.cli import main
+from icpx.cloud import PointCloud
+from icpx.io import load_cloud, save_cloud
+from icpx.io.loaders import synthetic_surface
+
+
+@pytest.fixture
+def cloud_file(tmp_path):
+    path = tmp_path / "src.pcd"
+    save_cloud(path, PointCloud.create(synthetic_surface(800, seed=0)))
+    return path
+
+
+def test_info(cloud_file, capsys):
+    assert main(["info", str(cloud_file)]) == 0
+    out = capsys.readouterr().out
+    assert "800 points" in out
+
+
+def test_convert(cloud_file, tmp_path, capsys):
+    out = tmp_path / "out.ply"
+    assert main(["convert", str(cloud_file), str(out)]) == 0
+    back = load_cloud(out)
+    assert int(back.num_valid()) == 800
+
+
+def test_perturb_then_register(cloud_file, tmp_path, capsys):
+    tgt = tmp_path / "tgt.pcd"
+    assert main([
+        "perturb", str(cloud_file), str(tgt),
+        "--angle", "0.2", "--translate", "0.1", "0", "0",
+    ]) == 0
+    aligned = tmp_path / "aligned.pcd"
+    metrics = tmp_path / "m.jsonl"
+    assert main([
+        "register", str(cloud_file), str(tgt),
+        "--max-iters", "12", "--diff-threshold", "1e-5",
+        "--out", str(aligned), "--metrics", str(metrics),
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "iters#1 / diff:" in out  # reference-format trace
+    assert "transform:" in out
+    recs = [json.loads(l) for l in metrics.read_text().splitlines()]
+    assert recs[-1]["event"] == "icp_done"
+    # aligned cloud ~= target
+    a = load_cloud(aligned).to_numpy()
+    b = load_cloud(tgt).to_numpy()
+    d = np.abs(np.sort(a[:, 0]) - np.sort(b[:, 0])).mean()
+    assert d < 1e-3
+
+
+def test_horn(cloud_file, tmp_path, capsys):
+    tgt = tmp_path / "t.pcd"
+    main(["perturb", str(cloud_file), str(tgt), "--angle", "0.3"])
+    assert main(["horn", str(cloud_file), str(tgt)]) == 0
+    assert "R:" in capsys.readouterr().out
+
+
+def test_odometry_synthetic(tmp_path, capsys):
+    metrics = tmp_path / "odo.jsonl"
+    ck = tmp_path / "odo.npz"
+    assert main([
+        "odometry", "--synthetic", "--frames", "5",
+        "--points-per-scan", "1024",
+        "--metrics", str(metrics), "--checkpoint", str(ck),
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "5 frames" in out
+    assert ck.exists()
+    assert len(metrics.read_text().splitlines()) == 5
+
+
+def test_register_config_override(cloud_file, tmp_path):
+    cfgf = tmp_path / "cfg.json"
+    cfgf.write_text(json.dumps({"robust": "huber", "max_iters": 3}))
+    assert main([
+        "register", str(cloud_file), str(cloud_file), "--config", str(cfgf)
+    ]) == 0
+
+
+def test_bad_odometry_args():
+    with pytest.raises(SystemExit):
+        main(["odometry"])  # no source given
