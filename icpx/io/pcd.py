@@ -135,15 +135,24 @@ def read_pcd(path_or_bytes: Union[str, os.PathLike, bytes]) -> Dict[str, np.ndar
         dtype = _struct_dtype(hdr)
         n = hdr.points
         if hdr.data == "ascii":
-            text = stream.read().decode("ascii", errors="replace")
+            body = stream.read()
             flat_names: List[Tuple[str, int]] = []
             for name, cnt in zip(hdr.fields, hdr.count):
                 for c in range(cnt):
                     flat_names.append((name, c))
-            # genfromtxt handles the nan/inf tokens PCL writes for invalid points
-            mat = np.genfromtxt(
-                _io.StringIO(text), dtype=np.float64, max_rows=n, invalid_raise=False
-            )
+            # Hot path: native C++ float-table parser (data-loader tier,
+            # see native/icpx_io.cpp); numpy fallback handles exotic rows.
+            from icpx.io import native
+
+            mat = native.parse_float_table(body, n, len(flat_names))
+            if mat is None:
+                text = body.decode("ascii", errors="replace")
+                mat = np.genfromtxt(
+                    _io.StringIO(text),
+                    dtype=np.float64,
+                    max_rows=n,
+                    invalid_raise=False,
+                )
             mat = np.atleast_2d(mat)
             if mat.shape[0] < n:
                 raise ValueError(f"PCD: expected {n} rows, got {mat.shape[0]}")
@@ -295,11 +304,21 @@ def write_pcd(
                 rec[nm] = c
             f.write(rec.tobytes())
         else:
-            body = _io.StringIO()
-            for i in range(n):
-                body.write(" ".join(_fmt(c[i]) for c in cols))
-                body.write("\n")
-            f.write(body.getvalue().encode("ascii"))
+            from icpx.io import native
+
+            payload = None
+            if all(c.dtype == np.float32 for c in cols):
+                payload = native.format_float_table(
+                    np.stack(cols, axis=1)
+                )
+            if payload is not None:
+                f.write(payload)
+            else:
+                body = _io.StringIO()
+                for i in range(n):
+                    body.write(" ".join(_fmt(c[i]) for c in cols))
+                    body.write("\n")
+                f.write(body.getvalue().encode("ascii"))
 
 
 def _fmt(v) -> str:

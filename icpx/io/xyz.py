@@ -7,6 +7,7 @@ turns a tab-separated xyz file into a cloud.
 from __future__ import annotations
 
 import os
+from pathlib import Path
 from typing import Union
 
 import numpy as np
@@ -14,10 +15,20 @@ import numpy as np
 
 def read_xyz_txt(path: Union[str, os.PathLike]) -> np.ndarray:
     """Read whitespace/tab-separated xyz rows -> (N, 3) float32."""
-    mat = np.loadtxt(path, dtype=np.float64, ndmin=2)
-    if mat.shape[1] < 3:
-        raise ValueError(f"xyz txt needs >= 3 columns, got {mat.shape[1]}")
-    return mat[:, :3].astype(np.float32)
+    raw = Path(path).read_bytes()
+    lines = [l for l in raw.splitlines() if l.strip() and not l.startswith(b"#")]
+    if not lines:
+        return np.zeros((0, 3), np.float32)
+    row_cols = len(lines[0].split())
+    if row_cols < 3:
+        raise ValueError(f"xyz txt needs >= 3 columns, got {row_cols}")
+    from icpx.io import native
+
+    mat = native.parse_float_columns(raw, len(lines), row_cols, 0, 3)
+    if mat is not None:
+        return mat
+    full = np.loadtxt(Path(path), dtype=np.float64, ndmin=2)
+    return full[:, :3].astype(np.float32)
 
 
 def write_xyz_txt(path: Union[str, os.PathLike], xyz: np.ndarray) -> None:

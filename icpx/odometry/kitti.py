@@ -19,9 +19,15 @@ from icpx.geometry.se3 import SE3
 
 
 def load_kitti_scan(path) -> np.ndarray:
-    """One velodyne .bin -> (N, 3) float32 xyz."""
-    raw = np.fromfile(path, dtype=np.float32)
-    return raw.reshape(-1, 4)[:, :3]
+    """One velodyne .bin -> (N, 3) float32 xyz (native fast path)."""
+    from icpx.io import native
+
+    raw = Path(path).read_bytes()
+    out = native.kitti_xyz(raw)
+    if out is not None:
+        return out
+    arr = np.frombuffer(raw, dtype=np.float32)
+    return arr.reshape(-1, 4)[:, :3].copy()
 
 
 def load_kitti_sequence(

@@ -1,0 +1,151 @@
+// icpx native IO kernels — the C++ data-loader tier.
+//
+// The reference delegates cloud parsing to PCL's C++ readers
+// (`pcl::PCDReader::read`, `myicp.cpp:22-26`); the TPU-native framework
+// keeps the same split: Python orchestrates headers/dispatch, this
+// library does the hot byte-level work (whitespace-separated float
+// tables for ASCII PCD/PLY/xyz, float formatting for writers). Exposed
+// through ctypes (no pybind11 dependency in the image).
+//
+// Build: make -C native   (or icpx.io.native builds it on first use)
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <cstdio>
+#include <cmath>
+
+extern "C" {
+
+// Parse up to n_rows * n_cols whitespace-separated floats from text.
+// Tolerates any mix of spaces/tabs/newlines/CR; "nan"/"inf" parse via
+// strtof. Returns the number of VALUES parsed (== n_rows*n_cols on
+// success; fewer means truncated input).
+int64_t icpx_parse_float_table(
+    const char* text,
+    int64_t length,
+    int64_t n_values,
+    float* out) {
+  const char* p = text;
+  const char* end = text + length;
+  int64_t count = 0;
+  while (count < n_values) {
+    // skip separators (also handles '#' comment lines defensively)
+    while (p < end) {
+      char c = *p;
+      if (c == '#') {
+        while (p < end && *p != '\n') ++p;
+      } else if (c == ' ' || c == '\t' || c == '\n' || c == '\r' ||
+                 c == ',') {
+        ++p;
+      } else {
+        break;
+      }
+    }
+    if (p >= end) break;
+    char* next = nullptr;
+    float v = strtof(p, &next);
+    if (next == p) {
+      // unparsable token: skip it (PCL writes e.g. bare labels)
+      while (p < end && *p != ' ' && *p != '\t' && *p != '\n' &&
+             *p != '\r')
+        ++p;
+      continue;
+    }
+    out[count++] = v;
+    p = next;
+  }
+  return count;
+}
+
+// Parse a fixed-stride subset of columns: rows of `row_cols` values where
+// only columns [col0, col0+n_take) are stored. Used for pulling xyz out
+// of multi-field PCD rows without materializing the full table.
+int64_t icpx_parse_float_columns(
+    const char* text,
+    int64_t length,
+    int64_t n_rows,
+    int64_t row_cols,
+    int64_t col0,
+    int64_t n_take,
+    float* out) {
+  const char* p = text;
+  const char* end = text + length;
+  int64_t row = 0;
+  for (; row < n_rows && p < end; ++row) {
+    for (int64_t c = 0; c < row_cols; ++c) {
+      while (p < end) {
+        char ch = *p;
+        if (ch == '#') {
+          while (p < end && *p != '\n') ++p;
+        } else if (ch == ' ' || ch == '\t' || ch == '\n' || ch == '\r' ||
+                   ch == ',') {
+          ++p;
+        } else {
+          break;
+        }
+      }
+      if (p >= end) return row;
+      char* next = nullptr;
+      float v = strtof(p, &next);
+      if (next == p) {
+        while (p < end && *p != ' ' && *p != '\t' && *p != '\n' &&
+               *p != '\r')
+          ++p;
+        v = 0.0f;
+      } else {
+        p = next;
+      }
+      if (c >= col0 && c < col0 + n_take) {
+        out[row * n_take + (c - col0)] = v;
+      }
+    }
+  }
+  return row;
+}
+
+// Format an (n_rows, n_cols) float table as ASCII rows into out_buf
+// ("%.9g" per value, space separated, '\n' rows). Returns bytes written,
+// or -1 if out_cap would overflow.
+int64_t icpx_format_float_table(
+    const float* values,
+    int64_t n_rows,
+    int64_t n_cols,
+    char* out_buf,
+    int64_t out_cap) {
+  char* w = out_buf;
+  char* wend = out_buf + out_cap;
+  for (int64_t r = 0; r < n_rows; ++r) {
+    for (int64_t c = 0; c < n_cols; ++c) {
+      if (wend - w < 32) return -1;
+      if (c) *w++ = ' ';
+      int n = snprintf(w, (size_t)(wend - w), "%.9g",
+                       (double)values[r * n_cols + c]);
+      if (n < 0) return -1;
+      w += n;
+    }
+    if (w >= wend) return -1;
+    *w++ = '\n';
+  }
+  return (int64_t)(w - out_buf);
+}
+
+// KITTI velodyne: raw float32 x,y,z,reflectance records -> xyz only.
+// (A memcpy-with-stride; here so the loader path is fully native.)
+int64_t icpx_kitti_xyz(
+    const char* raw,
+    int64_t n_bytes,
+    float* out_xyz) {
+  int64_t n = n_bytes / 16;
+  const float* f = (const float*)raw;
+  for (int64_t i = 0; i < n; ++i) {
+    out_xyz[i * 3 + 0] = f[i * 4 + 0];
+    out_xyz[i * 3 + 1] = f[i * 4 + 1];
+    out_xyz[i * 3 + 2] = f[i * 4 + 2];
+  }
+  return n;
+}
+
+int icpx_io_abi_version(void) { return 1; }
+
+}  // extern "C"
