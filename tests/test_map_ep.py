@@ -1,0 +1,119 @@
+"""Expert-parallel map blocks + all-to-all routed NN (P5/P7) on the faked
+8-device mesh: routing recall vs brute force, and scan-to-map ICP."""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from icpx.cloud import PointCloud
+from icpx.distributed.map_ep import (
+    MapBlocks,
+    partition_map,
+    routed_map_nn,
+    sharded_map_register,
+)
+from icpx.distributed.mesh import make_mesh
+from icpx.geometry.se3 import SE3
+from icpx.io.loaders import synthetic_surface
+from icpx.kernels.knn import _nearest_neighbor_jnp
+from icpx.kernels.normals import estimate_normals
+from icpx.registration.icp import ICPConfig
+
+
+def _map_cloud(n=8192, seed=0):
+    xyz = synthetic_surface(n, seed=seed)
+    pc = estimate_normals(PointCloud.create(xyz, capacity=n), k=8)
+    return pc
+
+
+def test_partition_map_blocks():
+    pc = _map_cloud(4096)
+    mb = partition_map(pc.xyz, pc.normals, pc.mask, n_blocks=8)
+    assert mb.block_xyz.shape == (8, 512, 3)
+    assert int(mb.block_mask.sum()) == 4096
+    # boundaries are monotonically non-decreasing
+    b = np.asarray(mb.boundaries)
+    assert (np.diff(b) >= 0).all()
+
+
+def test_routed_nn_recall():
+    mesh = make_mesh(axis_names=("blocks",))
+    pc = _map_cloud(8192, seed=0)
+    mb = partition_map(pc.xyz, pc.normals, pc.mask, n_blocks=8)
+    q = synthetic_surface(2048, seed=1)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P("blocks", None),
+            P("blocks", None, None),
+            P("blocks", None, None),
+            P("blocks", None),
+            P(None),
+            P(None),
+            P(None),
+        ),
+        out_specs=(P("blocks"), P("blocks", None)),
+        check_vma=False,
+    )
+    def run(qs, bx, bn, bm, bounds, lo, inv_e):
+        d, mx, mn = routed_map_nn(
+            qs, bx[0], bn[0], bm[0], bounds, lo, inv_e, "blocks",
+            n_route=2, tile_q=256, tile_r=512,
+        )
+        return d, mx
+
+    d, mx = run(
+        jnp.asarray(q), mb.block_xyz, mb.block_normals, mb.block_mask,
+        mb.boundaries, mb.lo, mb.inv_extent,
+    )
+    d_ref, _ = _nearest_neighbor_jnp(jnp.asarray(q), pc.xyz, ref_mask=pc.mask)
+    d, d_ref = np.asarray(d), np.asarray(d_ref)
+    found = np.isfinite(d)
+    assert found.mean() > 0.98
+    exact = (d[found] <= d_ref[found] + 1e-6).mean()
+    assert exact > 0.95, f"routed exact-NN rate {exact}"
+    # matched coordinates are consistent with reported distances
+    dd = ((q[found] - np.asarray(mx)[found]) ** 2).sum(1)
+    assert np.allclose(dd, d[found], rtol=1e-3, atol=1e-5)
+
+
+def test_sharded_map_register_converges():
+    mesh = make_mesh(axis_names=("blocks",))
+    world = _map_cloud(8192, seed=3)
+    mb = partition_map(world.xyz, world.normals, world.mask, n_blocks=8)
+    # scan = subsample of the world, perturbed by a small rigid motion
+    scan_xyz = world.to_numpy()[::4][:2048]
+    gt = SE3.from_axis_angle(
+        jnp.asarray([0.0, 0.0, 1.0]), 0.06, jnp.asarray([0.03, -0.02, 0.01])
+    )
+    scan = PointCloud.create(
+        np.asarray(gt.inverse().apply(jnp.asarray(scan_xyz))), capacity=2048
+    )
+    scan = estimate_normals(scan, k=8)
+    cfg = ICPConfig(
+        objective="p2plane",
+        max_iters=10,
+        diff_threshold=1e-5,
+        max_corr_dist=0.3,
+        tile_q=256,
+        tile_r=512,
+    )
+    res = sharded_map_register(scan, mb, cfg, mesh)
+    rot_err, t_err = res.transform.distance_to(gt)
+    assert float(rot_err) < 5e-3, float(rot_err)
+    assert float(t_err) < 5e-3, float(t_err)
+
+
+def test_mismatched_blocks_raises():
+    mesh = make_mesh(axis_names=("blocks",))
+    pc = _map_cloud(1024)
+    mb = partition_map(pc.xyz, pc.normals, pc.mask, n_blocks=4)
+    scan = estimate_normals(PointCloud.create(synthetic_surface(256)), k=8)
+    with pytest.raises(ValueError):
+        sharded_map_register(scan, mb, ICPConfig(), mesh)
