@@ -258,9 +258,13 @@ def block_nn_payload(
     k_tiles: int = 8,
 ) -> Tuple[jax.Array, jax.Array]:
     """Like `block_nn` but returns the matched payload row per query
-    instead of an index — the matched row is selected within the winning
-    tile (a small per-tile take_along_axis), eliminating the (N, D)
-    global gathers from the ICP hot loop.
+    instead of an index — the row is selected in-tile by a one-hot MXU
+    matmul (a per-tile take_along_axis is ~4x slower at 1M points, and a
+    global (N, D) gather needs the index round-trip).
+
+    Used by shard-local paths that cannot gather from a remote array;
+    single-device ICP uses `block_nn` + row gathers, which measured
+    equally fast and returns exact rows trivially.
 
     Returns (sqdist (Tq*Sq,), payload (Tq*Sq, D)); inf distance on pad
     or miss (payload zeros).
@@ -284,11 +288,16 @@ def block_nn_payload(
         score = jnp.einsum("tqc,tsc->tqs", q4, r4)
         score = jnp.where(rvalid[:, None, :], score, jnp.inf)
         smin = jnp.min(score, axis=2)  # (Tq, Sq)
-        sarg = jnp.argmin(score, axis=2).astype(jnp.int32)
-        cand_pl = jnp.take_along_axis(
-            pl, sarg[..., None], axis=1
-        )  # (Tq, Sq, D)
-        cand_ok = jnp.take_along_axis(rvalid, sarg, axis=1)
+        # one-hot selection with lowest-lane tiebreak: the payload is
+        # always an actual row, never an average of tied rows
+        lane = jax.lax.broadcasted_iota(jnp.int32, score.shape, 2)
+        s_dim = score.shape[2]
+        win = jnp.min(
+            jnp.where(score <= smin[..., None], lane, s_dim), axis=2
+        )
+        onehot = (lane == win[..., None]).astype(jnp.float32)
+        cand_pl = jnp.einsum("tqs,tsd->tqd", onehot, pl, precision="high")
+        cand_ok = jnp.isfinite(smin)
         better = smin < best_s
         return (
             jnp.where(better, smin, best_s),

@@ -120,15 +120,23 @@ def _icp_scan(
     nn_fn,
     reduce=lambda x: x,
 ) -> ICPResult:
-    """The ICP iteration scan shared by every execution mode.
+    """The ICP iteration core shared by every execution mode.
 
     `nn_fn(p) -> (q, n_q, dist)` produces matched target rows for the
     transformed source; `reduce` sums pytrees across a points partition
     (identity on a single device, psum when sharded).
+
+    A `lax.while_loop` so convergence ACTUALLY stops the work (the
+    reference's `while diff > threshold` loop, `myicp.cpp:123`) — the
+    convergence predicate is reduce()'d, so every shard exits together.
     """
 
-    def step(carry, _):
-        transform, prev_rmse, converged, n_applied = carry
+    def cond(state):
+        it, _, _, converged, *_ = state
+        return (it < config.max_iters) & ~converged
+
+    def body(state):
+        it, transform, prev_rmse, converged, _, diffs, rmses, counts = state
 
         p = transform.apply(src_xyz)
         n_p = transform.rotate(src_n)
@@ -148,39 +156,39 @@ def _icp_scan(
             (config.rmse_change_tol > 0)
             & (jnp.abs(prev_rmse - rmse) < config.rmse_change_tol)
         )
-
-        # Freeze once converged: keep the old state, don't apply updates.
-        def keep_old(old, new):
-            return jax.tree_util.tree_map(
-                lambda o, n: jnp.where(converged, o, n), old, new
-            )
-
-        out_transform = keep_old(transform, new_transform)
-        out_rmse = jnp.where(converged, prev_rmse, rmse)
-        out_diff = jnp.where(converged, jnp.float32(jnp.nan), diff)
-        n_applied = n_applied + jnp.where(converged, 0, 1)
         return (
-            (out_transform, out_rmse, converged | now_converged, n_applied),
-            (out_diff, jnp.where(converged, jnp.float32(jnp.nan), rmse), count),
+            it + 1,
+            new_transform,
+            rmse,
+            now_converged,
+            count,
+            diffs.at[it].set(diff),
+            rmses.at[it].set(rmse),
+            counts.at[it].set(count),
         )
 
-    init_carry = (
+    nan_hist = jnp.full((config.max_iters,), jnp.nan, jnp.float32)
+    state0 = (
+        jnp.int32(0),
         init,
         jnp.float32(jnp.inf),
         jnp.array(False),
-        jnp.int32(0),
+        jnp.float32(0.0),
+        nan_hist,
+        nan_hist,
+        jnp.zeros((config.max_iters,), jnp.float32),
     )
-    (transform, rmse, converged, iters), (diffs, rmses, counts) = jax.lax.scan(
-        step, init_carry, None, length=config.max_iters
+    (it, transform, rmse, converged, count, diffs, rmses, counts) = (
+        jax.lax.while_loop(cond, body, state0)
     )
     return ICPResult(
         transform=transform,
-        iters=iters,
+        iters=it,
         converged=converged,
         diff_history=diffs,
         rmse_history=rmses,
         final_rmse=rmse,
-        inlier_count=counts[-1].astype(jnp.int32),
+        inlier_count=count.astype(jnp.int32),
     )
 
 
@@ -202,11 +210,7 @@ def _register_jit(
     method = config.resolve_nn(tgt.capacity)
     if method == "block":
         from icpx.cloud import PAD_COORD
-        from icpx.kernels.blocknn import (
-            block_nn_payload,
-            build_tile_index,
-            tile_payload,
-        )
+        from icpx.kernels.blocknn import block_nn, build_tile_index
 
         # Morton-sort the source once (rigid motion preserves coherence;
         # point order is irrelevant to the solve). Sentinel-fill invalid.
@@ -222,21 +226,18 @@ def _register_jit(
         tgt_index = build_tile_index(
             tgt.xyz, tgt.mask, tile_size=config.block_tile
         )
-        # Target coords+normals ride as NN payload: matched rows come back
-        # from the winning tile directly — no global gathers per iteration.
-        payload = tile_payload(
-            tgt_index, jnp.concatenate([tgt.xyz, tgt_n], axis=1)
-        )
         tq = src_xyz.shape[0] // config.block_q_tile
 
         def nn_fn(p):
-            d2, pl = block_nn_payload(
+            # indices + two (N,3) row gathers beat in-fold payload
+            # selection by ~4x at 1M points (measured) — XLA's whole-row
+            # gather is cheap; per-tile take_along_axis is not.
+            d2, idx = block_nn(
                 p.reshape(tq, config.block_q_tile, 3),
                 tgt_index,
-                payload,
                 k_tiles=config.block_k,
             )
-            return pl[:, :3], pl[:, 3:], jnp.sqrt(d2)
+            return tgt.xyz[idx], tgt_n[idx], jnp.sqrt(d2)
 
         return _icp_scan(
             config, src_xyz, src_mask, src_n_s, init, nn_fn
