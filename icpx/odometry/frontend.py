@@ -41,6 +41,18 @@ class OdometryConfig:
     keyframe_trans: float = 0.5  # spawn keyframe beyond this motion
     keyframe_rot: float = 0.15  # radians
     constant_velocity_init: bool = True
+    # "scan_to_keyframe": register against the latest keyframe cloud.
+    # "scan_to_map": register against a maintained voxel map (keyframes
+    # merge into it) — drifts less, costs a map insert per keyframe.
+    mode: str = "scan_to_keyframe"
+    map_capacity: int = 65536
+    map_cell: float = 0.1
+    # Motion sanity gate: a registration whose pose moved further than
+    # this from its initial guess is rejected (finite-but-wrong solutions
+    # snowball through the constant-velocity model into divergence); the
+    # frame dead-reckons on the motion model instead. <= 0 disables.
+    max_correction_trans: float = 1.0
+    max_correction_rot: float = 0.5
 
 
 @dataclasses.dataclass
@@ -94,25 +106,77 @@ def run_odometry(
     edges: List[Tuple[int, int, SE3]] = []
     kf_indices = [0]
 
+    use_map = config.mode == "scan_to_map"
+    if use_map:
+        from icpx.odometry.mapping import VoxelMap, insert_scan
+
+        vmap = VoxelMap.create(config.map_capacity, config.map_cell)
+        vmap = insert_scan(vmap, frames[0], SE3.identity())
+
     kf_cloud = frames[0]
     kf_pose = SE3.identity()
     kf_index = 0
     # kf_T_frame of the previous frame, and the last inter-frame delta.
     prev_rel = SE3.identity()
     velocity = SE3.identity()
+    model_warm = False  # motion model untrustworthy until one accept
+    consecutive_rejects = 0
 
     for k in range(1, len(frames)):
         init = prev_rel @ velocity if config.constant_velocity_init else prev_rel
-        res = _register_pair(frames[k], kf_cloud, config, init)
-        rel = res.transform  # kf_T_frame
-        pose = kf_pose @ rel
+        if use_map:
+            # target = the world-frame map; transform is world_T_frame
+            world_init = kf_pose @ init
+            res = _register_pair(frames[k], vmap.as_cloud(), config, world_init)
+            pose = res.transform
+            rel = kf_pose.inverse() @ pose
+        else:
+            res = _register_pair(frames[k], kf_cloud, config, init)
+            rel = res.transform  # kf_T_frame
+            pose = kf_pose @ rel
+
+        # Motion sanity gate: dead-reckon instead of accepting a jump.
+        # Only once the motion model is warm (>= 1 accepted frame) — a
+        # cold init IS far from the solution by construction — and with a
+        # recovery valve: after 2 consecutive rejections, accept whatever
+        # ICP found rather than dead-reckon into divergence forever.
+        correction = init.inverse() @ rel
+        corr_t = float(jnp.linalg.norm(correction.t))
+        corr_r = float(correction.rotation_angle())
+        finite = np.isfinite(corr_t) and np.isfinite(
+            np.asarray(rel.t)
+        ).all()
+        gate_on = (
+            config.max_correction_trans > 0
+            and model_warm
+            and consecutive_rejects < 2
+        )
+        rejected = (not finite) or (
+            gate_on
+            and (
+                corr_t > config.max_correction_trans
+                or corr_r > config.max_correction_rot
+            )
+        )
+        if rejected:
+            rel = init
+            pose = kf_pose @ rel
+            rmses.append(float("inf"))
+            consecutive_rejects += 1
+        else:
+            rmses.append(float(res.final_rmse))
+            consecutive_rejects = 0
+            model_warm = True
         poses.append(pose)
-        rmses.append(float(res.final_rmse))
         velocity = prev_rel.inverse() @ rel
 
         trans = float(jnp.linalg.norm(rel.t))
         rot = float(rel.rotation_angle())
-        if trans > config.keyframe_trans or rot > config.keyframe_rot:
+        # rejected (dead-reckoned) frames never become keyframes or map
+        # insertions: their pose is uncertain and would poison the map
+        if (not rejected) and (
+            trans > config.keyframe_trans or rot > config.keyframe_rot
+        ):
             edges.append((kf_index, k, rel))
             kf_cloud = frames[k]
             kf_pose = pose
@@ -120,8 +184,8 @@ def run_odometry(
             kf_indices.append(k)
             is_kf.append(True)
             prev_rel = SE3.identity()
-            # velocity stays in the previous keyframe's frame scale; the
-            # relative motion magnitude carries over well enough.
+            if use_map:
+                vmap = insert_scan(vmap, frames[k], pose)
         else:
             is_kf.append(False)
             prev_rel = rel

@@ -150,9 +150,19 @@ def _icp_scan(
         stats = step_stats(
             config, new_transform.apply(src_xyz), q, dist, src_mask, reduce
         )
-        diff, rmse, count = stats.diff, stats.rmse, stats.inlier_count
+        # Degraded-mode guard (SURVEY §5.3): a non-finite or correspondence-
+        # starved update is rejected, keeping the previous transform — the
+        # loop reports non-convergence instead of propagating NaNs.
+        from icpx.distributed.fault import degenerate_solve_guard
 
-        now_converged = (diff < config.diff_threshold) | (
+        new_transform, ok = degenerate_solve_guard(
+            new_transform, stats, transform
+        )
+        diff, rmse, count = stats.diff, stats.rmse, stats.inlier_count
+        diff = jnp.where(ok, diff, jnp.float32(jnp.inf))
+        rmse = jnp.where(ok, rmse, prev_rmse)
+
+        now_converged = (~ok) | (diff < config.diff_threshold) | (
             (config.rmse_change_tol > 0)
             & (jnp.abs(prev_rmse - rmse) < config.rmse_change_tol)
         )

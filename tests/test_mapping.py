@@ -1,0 +1,108 @@
+"""VoxelMap accumulation + scan-to-map registration + loop closure."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icpx.cloud import PointCloud
+from icpx.geometry.se3 import SE3
+from icpx.io.loaders import synthetic_surface
+from icpx.kernels.normals import estimate_normals
+from icpx.odometry.loopclosure import LoopClosureConfig, detect_loop_closures
+from icpx.odometry.mapping import VoxelMap, insert_scan
+from icpx.registration.icp import ICPConfig, register
+
+
+def _scan(n=1024, seed=0, scale=1.0):
+    return estimate_normals(
+        PointCloud.create(synthetic_surface(n, seed=seed) * scale), k=8
+    )
+
+
+def test_insert_dedupes_same_scan():
+    vm = VoxelMap.create(4096, cell_size=0.05)
+    scan = _scan()
+    vm1 = insert_scan(vm, scan, SE3.identity())
+    n1 = int(vm1.num_valid())
+    vm2 = insert_scan(vm1, scan, SE3.identity())  # same points again
+    n2 = int(vm2.num_valid())
+    assert n1 > 500
+    assert n2 == n1  # voxel-unique: re-inserting adds nothing
+
+
+def test_insert_respects_capacity():
+    vm = VoxelMap.create(512, cell_size=0.01)
+    for k in range(4):
+        vm = insert_scan(vm, _scan(seed=k), SE3.identity())
+        assert int(vm.num_valid()) <= 512
+    assert int(vm.num_valid()) == 512  # full
+
+
+def test_oldest_point_wins():
+    vm = VoxelMap.create(2048, cell_size=0.5)  # huge voxels
+    s1 = _scan(seed=1)
+    vm = insert_scan(vm, s1, SE3.identity())
+    xyz_before = vm.as_cloud().to_numpy().copy()
+    vm = insert_scan(vm, _scan(seed=2), SE3.identity())
+    xyz_after = vm.as_cloud().to_numpy()
+    # every voxel that existed keeps its original representative
+    before = {tuple(r) for r in xyz_before.round(4).tolist()}
+    after = {tuple(r) for r in xyz_after.round(4).tolist()}
+    assert before.issubset(after)
+
+
+def test_scan_to_map_registration():
+    vm = VoxelMap.create(4096, cell_size=0.02)
+    world = _scan(n=3000, seed=5)
+    vm = insert_scan(vm, world, SE3.identity())
+    gt = SE3.from_axis_angle(
+        jnp.asarray([0.0, 0.0, 1.0]), 0.08, jnp.asarray([0.04, -0.02, 0.01])
+    )
+    scan_xyz = world.to_numpy()[::3][:768]
+    scan = estimate_normals(
+        PointCloud.create(np.asarray(gt.inverse().apply(jnp.asarray(scan_xyz)))),
+        k=8,
+    )
+    res = register(
+        scan,
+        vm.as_cloud(),
+        ICPConfig(max_iters=10, diff_threshold=1e-5, max_corr_dist=0.2),
+    )
+    rot_err, t_err = res.transform.distance_to(gt)
+    assert float(rot_err) < 5e-3 and float(t_err) < 5e-3
+
+
+def test_loop_closure_detection():
+    # two keyframes observing the same area, believed poses drifted
+    base = _scan(n=2000, seed=7)
+    gt_rel = SE3.from_axis_angle(
+        jnp.asarray([0.0, 0.0, 1.0]), 0.1, jnp.asarray([0.05, 0.03, 0.0])
+    )
+    # cloud_j = gt_rel^{-1} applied (j observes the same surface from a pose)
+    cloud_j = estimate_normals(
+        PointCloud.create(np.asarray(gt_rel.inverse().apply(base.xyz))[:2000]),
+        k=8,
+    )
+    poses = [SE3.identity()] + [
+        SE3.from_rotvec(
+            jnp.zeros(3), jnp.asarray([0.3 * k, 0.0, 0.0])
+        )
+        for k in range(1, 6)
+    ]
+    # last keyframe is believed ~where the first is (loop), with drift
+    drift = SE3.from_rotvec(
+        jnp.asarray([0.0, 0.0, 0.02]), jnp.asarray([0.15, -0.1, 0.0])
+    )
+    poses.append(gt_rel @ drift)
+    clouds = [base] + [_scan(n=2000, seed=10 + k) for k in range(5)] + [cloud_j]
+    edges = detect_loop_closures(
+        poses,
+        clouds,
+        LoopClosureConfig(min_separation=4, max_candidate_dist=2.0),
+    )
+    assert any(i == 0 and j == 6 for (i, j, _, _) in edges), edges
+    for (i, j, T, rmse) in edges:
+        if i == 0 and j == 6:
+            rot_err, t_err = T.distance_to(gt_rel)
+            assert float(rot_err) < 5e-3 and float(t_err) < 5e-3
+            assert rmse < 0.01
