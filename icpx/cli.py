@@ -210,6 +210,48 @@ def cmd_odometry(args) -> int:
         ate = ate_rmse(res.poses, gt[: len(res.poses)])
         t_rpe, r_rpe = rpe(res.poses, gt[: len(res.poses)])
         print(f"ATE {ate:.4f} m   RPE {t_rpe:.4f} m / {r_rpe:.5f} rad")
+    if args.loop_closure:
+        import jax.numpy as jnp
+
+        from icpx.geometry.se3 import SE3
+        from icpx.odometry.loopclosure import (
+            LoopClosureConfig,
+            detect_loop_closures,
+        )
+        from icpx.odometry.posegraph import PoseGraph, optimize_pose_graph
+
+        kf = res.keyframe_indices
+        kf_poses = [res.poses[i] for i in kf]
+        closures = detect_loop_closures(
+            kf_poses,
+            [frames[i] for i in kf],
+            LoopClosureConfig(icp=cfg.icp),
+        )
+        print(f"loop closures: {len(closures)}")
+        if closures:
+            remap = {f: i for i, f in enumerate(kf)}
+            edges = [
+                (remap[i], remap[j], T)
+                for (i, j, T) in res.edges
+                if i in remap and j in remap
+            ] + [(i, j, T) for (i, j, T, _) in closures]
+            graph = PoseGraph.from_edge_list(
+                SE3(
+                    R=jnp.stack([p.R for p in kf_poses]),
+                    t=jnp.stack([p.t for p in kf_poses]),
+                ),
+                edges,
+            )
+            opt, chi2 = optimize_pose_graph(graph, iters=10)
+            print(
+                f"pose graph: chi2 {float(chi2[0]):.3e} -> {float(chi2[-1]):.3e}"
+            )
+            # splice optimized keyframe poses back into the trajectory
+            for idx, f_idx in enumerate(kf):
+                res.poses[f_idx] = SE3(R=opt.R[idx], t=opt.t[idx])
+            if gt is not None:
+                ate2 = ate_rmse(res.poses, gt[: len(res.poses)])
+                print(f"ATE after pose graph: {ate2:.4f} m")
     if args.metrics:
         with MetricsLogger(args.metrics) as ml:
             for k, (p, r) in enumerate(zip(res.poses, res.rmse)):
@@ -313,6 +355,8 @@ def main(argv=None) -> int:
     p.add_argument("--max-corr-dist", type=float, default=2.0)
     p.add_argument("--keyframe-trans", type=float, default=1.0)
     p.add_argument("--keyframe-rot", type=float, default=0.2)
+    p.add_argument("--loop-closure", action="store_true",
+                   help="detect loop closures and optimize the pose graph")
     p.add_argument("--metrics", default=None)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--render", default=None)

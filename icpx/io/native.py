@@ -94,7 +94,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float),
         ]
-        if lib.icpx_io_abi_version() != 1:
+        for fn in ("icpx_lzf_compress", "icpx_lzf_decompress"):
+            f = getattr(lib, fn)
+            f.restype = ctypes.c_int64
+            f.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_int64,
+                ctypes.c_char_p,
+                ctypes.c_int64,
+            ]
+        if lib.icpx_io_abi_version() != 2:
             return None
         _lib = lib
         return _lib
@@ -160,6 +169,29 @@ def format_float_table(values: np.ndarray) -> Optional[bytes]:
     if wrote < 0:
         return None
     return buf.raw[:wrote]
+
+
+def lzf_compress(data: bytes) -> Optional[bytes]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    cap = len(data) + len(data) // 16 + 64
+    buf = ctypes.create_string_buffer(cap)
+    n = lib.icpx_lzf_compress(data, len(data), buf, cap)
+    if n <= 0:
+        return None
+    return buf.raw[:n]
+
+
+def lzf_decompress(data: bytes, expected: int) -> Optional[bytes]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = ctypes.create_string_buffer(expected)
+    n = lib.icpx_lzf_decompress(data, len(data), buf, expected)
+    if n != expected:
+        return None
+    return buf.raw[:expected]
 
 
 def kitti_xyz(raw: bytes) -> Optional[np.ndarray]:

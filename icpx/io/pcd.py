@@ -220,7 +220,18 @@ def _read_binary_compressed(stream, dtype: np.dtype, n: int) -> np.ndarray:
 
 
 def _lzf_decompress(data: bytes, expected: int) -> bytes:
-    """Minimal LZF decompressor (PCL uses liblzf for binary_compressed)."""
+    """LZF decompress (PCL uses liblzf for binary_compressed); native C++
+    fast path with a pure-Python fallback."""
+    from icpx.io import native
+
+    out_native = native.lzf_decompress(data, expected)
+    if out_native is not None:
+        return out_native
+    return _lzf_decompress_py(data, expected)
+
+
+def _lzf_decompress_py(data: bytes, expected: int) -> bytes:
+    """Minimal LZF decompressor (reference implementation)."""
     out = bytearray()
     i, n = 0, len(data)
     while i < n:
@@ -252,9 +263,11 @@ def write_pcd(
     normals: Optional[np.ndarray] = None,
     extra_fields: Optional[Dict[str, np.ndarray]] = None,
     binary: bool = False,
+    compressed: bool = False,
     viewpoint: Optional[List[float]] = None,
 ) -> None:
-    """Write a PCD v0.7 file (ascii by default, like `savePCDFileASCII`)."""
+    """Write a PCD v0.7 file: ascii (default, like `savePCDFileASCII`),
+    binary, or binary_compressed (LZF, SoA layout — PCL-compatible)."""
     xyz = np.asarray(xyz, dtype=np.float32)
     n = xyz.shape[0]
     names = ["x", "y", "z"]
@@ -277,6 +290,7 @@ def write_pcd(
         sizes.append(sz)
         types.append(ty)
     vp = viewpoint or [0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]
+    kind = "binary_compressed" if compressed else ("binary" if binary else "ascii")
     header = (
         "# .PCD v0.7 - Point Cloud Data file format\n"
         "VERSION 0.7\n"
@@ -288,11 +302,26 @@ def write_pcd(
         "HEIGHT 1\n"
         f"VIEWPOINT {' '.join(_fmt(v) for v in vp)}\n"
         f"POINTS {n}\n"
-        f"DATA {'binary' if binary else 'ascii'}\n"
+        f"DATA {kind}\n"
     )
     with open(path, "wb") as f:
         f.write(header.encode("ascii"))
-        if binary:
+        if compressed:
+            import struct as _struct
+
+            from icpx.io import native
+
+            # SoA layout: each field's column contiguous, then LZF.
+            raw = b"".join(np.ascontiguousarray(c).tobytes() for c in cols)
+            comp = native.lzf_compress(raw)
+            if comp is None:
+                raise RuntimeError(
+                    "binary_compressed write needs the native IO library "
+                    "(set ICPX_NO_NATIVE=0 / install a C++ toolchain)"
+                )
+            f.write(_struct.pack("<II", len(comp), len(raw)))
+            f.write(comp)
+        elif binary:
             rec = np.zeros(
                 n,
                 dtype=np.dtype(

@@ -53,6 +53,9 @@ class ICPConfig:
     max_corr_dist: float = float("inf")
     robust: str = "none"  # none|huber|tukey|welsch|cauchy
     robust_scale: float = 0.0  # <= 0 -> auto via MAD each iteration
+    # Trimmed ICP: keep only the closest fraction of correspondences
+    # (1.0 = keep all). Robust to partial overlap.
+    trim_fraction: float = 1.0
     damping: float = 1e-6
     # NN search: "brute" = tiled O(N^2) (Pallas-fused on TPU), "block" =
     # Morton-tiled IVF-style O(N*K*S) (the large-cloud path), "auto" picks

@@ -50,6 +50,14 @@ def correspondence_weights(
     """Validity gate + robust IRLS weights for the current correspondences."""
     valid = src_mask & (dist <= config.max_corr_dist) & jnp.isfinite(dist)
     vmask = valid.astype(jnp.float32)
+    trim = getattr(config, "trim_fraction", 1.0)
+    if trim < 1.0:
+        # Trimmed ICP (Chetverikov): keep only the closest `trim` fraction
+        # of correspondences — robust to partial overlap without tuning a
+        # distance gate. Quantile is per-shard when sharded (approx).
+        thr = _masked_quantile(dist, vmask, trim)
+        valid = valid & (dist <= thr)
+        vmask = valid.astype(jnp.float32)
     if config.robust == "none":
         return vmask
     if config.objective == "symmetric":
@@ -66,6 +74,16 @@ def correspondence_weights(
         # shard-count-independent results.
         scale = mad_scale(r_w, vmask)
     return vmask * robust_weight(r_w, config.robust, scale)
+
+
+def _masked_quantile(x: jax.Array, w_valid: jax.Array, q: float) -> jax.Array:
+    """Quantile of x over entries with w_valid > 0 (static shapes)."""
+    n = x.shape[0]
+    vals = jnp.sort(jnp.where(w_valid > 0, x, jnp.inf))
+    cnt = jnp.sum((w_valid > 0).astype(jnp.int32))
+    idx = jnp.clip((cnt.astype(jnp.float32) * q).astype(jnp.int32), 0, n - 1)
+    v = vals[idx]
+    return jnp.where(jnp.isfinite(v), v, jnp.float32(jnp.inf))
 
 
 def estimate_increment(

@@ -146,6 +146,118 @@ int64_t icpx_kitti_xyz(
   return n;
 }
 
-int icpx_io_abi_version(void) { return 1; }
+// LZF compression (liblzf-compatible format, used by PCL's
+// binary_compressed PCD payloads). Simple 8k-entry hash chain.
+int64_t icpx_lzf_compress(
+    const char* in,
+    int64_t in_len,
+    char* out,
+    int64_t out_cap) {
+  if (in_len <= 0) return 0;
+  const unsigned char* ip = (const unsigned char*)in;
+  const unsigned char* in_end = ip + in_len;
+  unsigned char* op = (unsigned char*)out;
+  unsigned char* out_end = op + out_cap;
+
+  const int HLOG = 13;
+  static thread_local const unsigned char* htab[1 << 13];
+  for (int i = 0; i < (1 << HLOG); ++i) htab[i] = ip;
+
+  int lit = 0;
+  unsigned char* lit_hdr = op++;  // reserve literal-run header
+  if (op >= out_end) return -1;
+
+  while (ip < in_end) {
+    if (ip + 4 < in_end) {
+      uint32_t h = (uint32_t)(ip[0] << 16 | ip[1] << 8 | ip[2]);
+      uint32_t slot = ((h >> (24 - HLOG)) ^ h) & ((1 << HLOG) - 1);
+      const unsigned char* ref = htab[slot];
+      htab[slot] = ip;
+      int64_t off = ip - ref - 1;
+      if (ref < ip && off < (1 << 13) && ref[0] == ip[0] &&
+          ref[1] == ip[1] && ref[2] == ip[2]) {
+        // found a match of at least 3
+        int64_t maxlen = in_end - ip;
+        if (maxlen > 264) maxlen = 264;
+        int64_t len = 3;
+        while (len < maxlen && ref[len] == ip[len]) ++len;
+        // close current literal run
+        if (lit) {
+          *lit_hdr = (unsigned char)(lit - 1);
+          lit = 0;
+        } else {
+          --op;  // unused header byte
+        }
+        int64_t l = len - 2;
+        if (op + 4 > out_end) return -1;
+        if (l < 7) {
+          *op++ = (unsigned char)((off >> 8) + (l << 5));
+        } else {
+          *op++ = (unsigned char)((off >> 8) + (7 << 5));
+          *op++ = (unsigned char)(l - 7);
+        }
+        *op++ = (unsigned char)(off & 0xFF);
+        ip += len;
+        lit_hdr = op++;  // reserve next literal header
+        if (op > out_end) return -1;
+        continue;
+      }
+    }
+    // literal byte
+    if (op >= out_end) return -1;
+    *op++ = *ip++;
+    ++lit;
+    if (lit == 32) {
+      *lit_hdr = 31;
+      lit = 0;
+      lit_hdr = op++;
+      if (op > out_end) return -1;
+    }
+  }
+  if (lit) {
+    *lit_hdr = (unsigned char)(lit - 1);
+  } else {
+    --op;
+  }
+  return (int64_t)(op - (unsigned char*)out);
+}
+
+// LZF decompression (mirrors the Python fallback in icpx/io/pcd.py).
+int64_t icpx_lzf_decompress(
+    const char* in,
+    int64_t in_len,
+    char* out,
+    int64_t out_cap) {
+  const unsigned char* ip = (const unsigned char*)in;
+  const unsigned char* in_end = ip + in_len;
+  unsigned char* op = (unsigned char*)out;
+  unsigned char* out_end = op + out_cap;
+  while (ip < in_end) {
+    unsigned int ctrl = *ip++;
+    if (ctrl < 32) {
+      int64_t run = ctrl + 1;
+      if (op + run > out_end || ip + run > in_end) return -1;
+      memcpy(op, ip, run);
+      op += run;
+      ip += run;
+    } else {
+      int64_t len = ctrl >> 5;
+      if (len == 7) {
+        if (ip >= in_end) return -1;
+        len += *ip++;
+      }
+      if (ip >= in_end) return -1;
+      const unsigned char* ref = op - ((ctrl & 0x1F) << 8) - *ip++ - 1;
+      if (ref < (unsigned char*)out) return -1;
+      len += 2;
+      if (op + len > out_end) return -1;
+      for (int64_t i = 0; i < len; ++i) op[i] = ref[i];
+      op += len;
+    }
+  }
+  return (int64_t)(op - (unsigned char*)out);
+}
+
+int icpx_io_abi_version(void) { return 2; }
 
 }  // extern "C"

@@ -1,0 +1,93 @@
+"""Trimmed ICP, LZF-compressed PCD, multi-host helpers, CLI loop closure."""
+
+import numpy as np
+import pytest
+
+from icpx.cloud import PointCloud
+from icpx.geometry.se3 import SE3
+from icpx.io.loaders import synthetic_surface
+from icpx.registration.icp import ICPConfig, register
+
+
+def test_trimmed_icp_partial_overlap():
+    """Half the source has no counterpart; trimming solves it without a
+    hand-tuned distance gate."""
+    import jax.numpy as jnp
+
+    xyz = synthetic_surface(3000, seed=0)
+    gt = SE3.from_axis_angle(
+        jnp.asarray([0.0, 0.0, 1.0]), 0.15, jnp.asarray([0.08, -0.04, 0.02])
+    )
+    # target covers only points with u > 0 (half the surface)
+    tgt_np = np.asarray(gt.apply(jnp.asarray(xyz)))
+    tgt = PointCloud.create(tgt_np[xyz[:, 0] > 0])
+    src = PointCloud.create(xyz)
+    res_plain = register(
+        src, tgt, ICPConfig(max_iters=15, diff_threshold=1e-5)
+    )
+    res_trim = register(
+        src, tgt, ICPConfig(max_iters=15, diff_threshold=1e-5, trim_fraction=0.4)
+    )
+    _, t_plain = res_plain.transform.distance_to(gt)
+    _, t_trim = res_trim.transform.distance_to(gt)
+    assert float(t_trim) < 5e-3, f"trimmed failed: {float(t_trim)}"
+    assert float(t_trim) < float(t_plain)  # and beats untrimmed
+
+
+def test_pcd_binary_compressed_roundtrip(tmp_path, rng):
+    from icpx.io import native
+    from icpx.io.pcd import read_pcd, write_pcd
+
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    xyz = rng.normal(size=(1000, 3)).astype(np.float32) * 10
+    nrm = rng.normal(size=(1000, 3)).astype(np.float32)
+    p = tmp_path / "c.pcd"
+    write_pcd(p, xyz, normals=nrm, compressed=True)
+    head = p.read_bytes()[:400]
+    assert b"binary_compressed" in head
+    rec = read_pcd(p)
+    assert np.allclose(rec["xyz"], xyz)
+    assert np.allclose(rec["normals"], nrm)
+
+
+def test_lzf_python_native_agree(rng):
+    from icpx.io import native
+    from icpx.io.pcd import _lzf_decompress_py
+
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    data = rng.integers(0, 10, 5000).astype(np.uint8).tobytes()  # compressible
+    comp = native.lzf_compress(data)
+    assert comp is not None and len(comp) < len(data)
+    assert native.lzf_decompress(comp, len(data)) == data
+    assert _lzf_decompress_py(comp, len(data)) == data
+
+
+def test_multihost_helpers_single_process():
+    import jax
+
+    from icpx.distributed.multihost import (
+        global_mesh,
+        host_local_shard,
+        init_multihost,
+    )
+
+    assert init_multihost() is False  # single process: no-op
+    mesh = global_mesh(("hosts", "points"))
+    assert mesh.shape["hosts"] == 1
+    assert mesh.shape["points"] == jax.device_count()
+    arr = np.arange(12).reshape(12, 1)
+    assert np.array_equal(host_local_shard(arr), arr)  # 1 host = all
+
+
+def test_cli_odometry_loop_closure(capsys):
+    from icpx.cli import main
+
+    rc = main([
+        "odometry", "--synthetic", "--frames", "6",
+        "--points-per-scan", "1024", "--loop-closure",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "loop closures:" in out
