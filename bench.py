@@ -28,7 +28,14 @@ def main():
     ap.add_argument("--reps", type=int, default=5, help="timed repetitions")
     ap.add_argument("--objective", default="symmetric")
     ap.add_argument("--k-normals", type=int, default=10)
+    ap.add_argument("--cat", action="store_true",
+                    help="reference-parity run on the cat fixture pair")
+    ap.add_argument("--profile", default=None,
+                    help="jax.profiler trace directory")
     args = ap.parse_args()
+
+    if args.cat:
+        return bench_cat(args)
 
     import jax
     import jax.numpy as jnp
@@ -75,12 +82,20 @@ def main():
     args_in = (src.xyz, src.mask, tgt.xyz, tgt.mask)
     out = run_j(*args_in)
     jax.block_until_ready(out)  # compile + warm
+    profile_cm = None
+    if args.profile:
+        from icpx.utils.profiling import trace_context
+
+        profile_cm = trace_context(args.profile)
+        profile_cm.__enter__()
     times = []
     for _ in range(args.reps):
         t0 = time.perf_counter()
         out = run_j(*args_in)
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
+    if profile_cm is not None:
+        profile_cm.__exit__(None, None, None)
     wall = statistics.median(times)
     rmse = float(out[2])
 
@@ -106,6 +121,62 @@ def main():
         f"# n={n} iters={args.iters} wall={wall * 1e3:.1f}ms rmse={rmse:.2e} "
         f"rot_err={float(rot_err):.2e} t_err={float(t_err):.2e} "
         f"quality_ok={quality_ok} times_ms={[round(t * 1e3, 1) for t in times]}",
+        file=sys.stderr,
+    )
+
+
+def bench_cat(args):
+    """Reference-parity config: the shuffled cat pair must converge to the
+    fixture's noise floor (rmse ~1e-5) while the reference can't even run
+    it (its correspondence step needs index alignment)."""
+    import jax
+    import numpy as np
+
+    from icpx.cloud import PointCloud
+    from icpx.geometry.transforms import make_rigid_perturbation
+    from icpx.io.loaders import load_cat_pair
+    from icpx.registration.icp import ICPConfig, register
+
+    src, tgt = load_cat_pair()
+    rng = np.random.default_rng(0)
+    tgt_np = tgt.to_numpy()
+    tgt = PointCloud.create(tgt_np[rng.permutation(len(tgt_np))])
+    cfg = ICPConfig(
+        objective="symmetric",
+        max_iters=20,
+        diff_threshold=1.0,  # reference threshold, myicp.cpp:6
+        max_corr_dist=50.0,
+        robust="huber",
+    )
+    res = register(src, tgt, cfg)
+    jax.block_until_ready(res)
+    times = []
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        res = register(src, tgt, cfg)
+        jax.block_until_ready(res)
+        times.append(time.perf_counter() - t0)
+    wall = statistics.median(times)
+    rot_err, t_err = res.transform.distance_to(make_rigid_perturbation())
+    n = int(jax.device_get(src.num_valid()))
+    print(
+        json.dumps(
+            {
+                "metric": "cat_pair_registered_points_per_sec",
+                "value": round(n / wall, 1),
+                "unit": "points/s",
+                "vs_baseline": round(
+                    (n / wall) / NORTH_STAR_PER_CHIP, 4
+                ),
+            }
+        )
+    )
+    import sys
+
+    print(
+        f"# cat: wall={wall * 1e3:.1f}ms iters={int(res.iters)} "
+        f"rmse={float(res.final_rmse):.2e} rot_err={float(rot_err):.2e} "
+        f"t_err={float(t_err):.2e} converged={bool(res.converged)}",
         file=sys.stderr,
     )
 

@@ -23,7 +23,23 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 
 from icpx.cloud import PointCloud
 from icpx.geometry.se3 import SE3
+from icpx.registration.icp import ICPConfig, ICPResult, register
+from icpx.registration.horn import horn_align
+from icpx.registration.pyramid import PyramidConfig, register_pyramid
+from icpx.io.loaders import load_cloud, save_cloud
 
 __version__ = "0.1.0"
 
-__all__ = ["PointCloud", "SE3", "__version__"]
+__all__ = [
+    "PointCloud",
+    "SE3",
+    "ICPConfig",
+    "ICPResult",
+    "register",
+    "horn_align",
+    "PyramidConfig",
+    "register_pyramid",
+    "load_cloud",
+    "save_cloud",
+    "__version__",
+]

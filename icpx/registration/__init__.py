@@ -1,5 +1,6 @@
 from icpx.registration.horn import horn_align, umeyama_align
 from icpx.registration.icp import ICPConfig, ICPResult, register, register_xyz
+from icpx.registration.pyramid import PyramidConfig, register_pyramid
 from icpx.registration.linearize import (
     build_normal_equations_p2plane,
     build_normal_equations_symmetric,
