@@ -81,6 +81,28 @@ def optimize_pose_graph(
     anchor_weight: float = 1e6,
 ) -> Tuple[SE3, jax.Array]:
     """Damped Gauss-Newton. Returns (optimized poses, per-iter chi2)."""
+    return _optimize_impl(
+        graph,
+        iters=iters,
+        damping=damping,
+        anchor=anchor,
+        anchor_weight=anchor_weight,
+    )
+
+
+def _optimize_impl(
+    graph: PoseGraph,
+    *,
+    iters: int,
+    damping: float,
+    anchor: int,
+    anchor_weight: float,
+    reduce=lambda x: x,
+    anchor_scale: float = 1.0,
+) -> Tuple[SE3, jax.Array]:
+    """Shared GN core. `reduce` sums the assembled (H, b, chi2) across an
+    edge partition (identity on a single device); `anchor_scale` divides
+    the gauge prior so psum'd shards contribute it exactly once."""
     m = graph.n_nodes
 
     zero6 = jnp.zeros((6,), jnp.float32)
@@ -131,9 +153,12 @@ def optimize_pose_graph(
         b = b.at[ej].add(jnp.einsum("eki,ek->ei", Jj, wr))
 
         # gauge: strong prior pinning the anchor node at its current pose
+        # (scaled so a psum across edge shards applies it exactly once)
         H = H.at[anchor, anchor].add(
-            anchor_weight * jnp.eye(6, dtype=jnp.float32)
+            anchor_scale * anchor_weight * jnp.eye(6, dtype=jnp.float32)
         )
+        chi2_local = jnp.sum(graph.edge_weight * jnp.sum(r * r, axis=1))
+        H, b, chi2 = reduce((H, b, chi2_local))
 
         Hd = H.transpose(0, 2, 1, 3).reshape(6 * m, 6 * m)
         bd = b.reshape(6 * m)
@@ -143,7 +168,6 @@ def optimize_pose_graph(
         new_poses = jax.vmap(lambda R, t, d: (SE3(R=R, t=t) @ SE3.exp(d)))(
             poses.R, poses.t, delta
         )
-        chi2 = jnp.sum(graph.edge_weight * jnp.sum(r * r, axis=1))
         return SE3(R=new_poses.R, t=new_poses.t), chi2
 
     def body(poses, _):
@@ -152,6 +176,104 @@ def optimize_pose_graph(
 
     poses, chi2s = jax.lax.scan(body, graph.poses, None, length=iters)
     return poses, chi2s
+
+
+def optimize_pose_graph_sharded(
+    graph: PoseGraph,
+    mesh,
+    *,
+    iters: int = 10,
+    damping: float = 1e-6,
+    anchor: int = 0,
+    anchor_weight: float = 1e6,
+    edge_axis: str = "points",
+) -> Tuple[SE3, jax.Array]:
+    """Edge-sharded Gauss-Newton (SURVEY P9: DP over edges).
+
+    Each device linearizes its shard of edges and assembles a partial
+    (6M, 6M) normal system; one `psum` merges them and every device runs
+    the identical dense solve — the same sufficient-statistics pattern as
+    the sharded ICP JtJ. Edge count must be divisible by the axis size
+    (pad with zero-weight self-edges via `pad_edges`).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape[edge_axis]
+    e = graph.n_edges
+    if e % n_dev:
+        raise ValueError(
+            f"{e} edges not divisible by '{edge_axis}' size {n_dev}; "
+            "pad with pad_edges()"
+        )
+    m = graph.n_nodes
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(None, None, None),  # poses R (replicated)
+            P(None, None),  # poses t
+            P(edge_axis),  # edge i
+            P(edge_axis),  # edge j
+            P(edge_axis, None, None),  # meas R
+            P(edge_axis, None),  # meas t
+            P(edge_axis),  # weights
+        ),
+        out_specs=(P(None, None, None), P(None, None), P(None)),
+        check_vma=False,
+    )
+    def run(pR, pt, ei, ej, mR, mt, w):
+        local = PoseGraph(
+            poses=SE3(R=pR, t=pt),
+            edge_i=ei,
+            edge_j=ej,
+            edge_meas=SE3(R=mR, t=mt),
+            edge_weight=w,
+        )
+        poses, chi2 = _optimize_impl(
+            local,
+            iters=iters,
+            damping=damping,
+            anchor=anchor,
+            anchor_weight=anchor_weight,
+            reduce=lambda x: jax.lax.psum(x, edge_axis),
+            anchor_scale=1.0 / n_dev,  # each shard adds its 1/n share
+        )
+        return poses.R, poses.t, chi2
+
+    R, t, chi2 = run(
+        graph.poses.R,
+        graph.poses.t,
+        graph.edge_i,
+        graph.edge_j,
+        graph.edge_meas.R,
+        graph.edge_meas.t,
+        graph.edge_weight,
+    )
+    return SE3(R=R, t=t), chi2
+
+
+def pad_edges(graph: PoseGraph, multiple: int) -> PoseGraph:
+    """Pad the edge list to a multiple with zero-weight self-edges."""
+    e = graph.n_edges
+    pad = (-e) % multiple
+    if pad == 0:
+        return graph
+    eye_R = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (pad, 3, 3))
+    return PoseGraph(
+        poses=graph.poses,
+        edge_i=jnp.concatenate([graph.edge_i, jnp.zeros(pad, jnp.int32)]),
+        edge_j=jnp.concatenate([graph.edge_j, jnp.zeros(pad, jnp.int32)]),
+        edge_meas=SE3(
+            R=jnp.concatenate([graph.edge_meas.R, eye_R]),
+            t=jnp.concatenate(
+                [graph.edge_meas.t, jnp.zeros((pad, 3), jnp.float32)]
+            ),
+        ),
+        edge_weight=jnp.concatenate(
+            [graph.edge_weight, jnp.zeros(pad, jnp.float32)]
+        ),
+    )
 
 
 @partial(jax.jit, static_argnames=("n_keep",))
