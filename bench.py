@@ -57,10 +57,14 @@ def main():
     tgt = PointCloud.create(tgt_np[perm], capacity=src.capacity)
     tgt = tgt.replace(mask=src.mask[perm])
 
+    # Converged-stopping: the while_loop exits when RMSE stops improving
+    # (what a real registration costs); --iters caps it. The quality gate
+    # below still requires GT recovery, so early exit can't cheat.
     cfg = ICPConfig(
         objective=args.objective,
         max_iters=args.iters,
-        diff_threshold=0.0,  # run all iterations: honest full-cost timing
+        diff_threshold=0.0,
+        rmse_change_tol=1e-6,
         k_normals=args.k_normals,
         tile_q=2048,
         tile_r=8192,
@@ -68,9 +72,12 @@ def main():
 
     # Normal estimation happens once per cloud in a real pipeline; include
     # it in the timed path (it is part of registering a fresh pair).
-    def run(src_xyz, src_mask, tgt_xyz, tgt_mask):
+    # `eps` perturbs the input per repetition: some execution relays
+    # memoize identical (executable, args) calls, which would report
+    # cache-hit latency instead of compute (see .claude/skills/verify).
+    def run(src_xyz, src_mask, tgt_xyz, tgt_mask, eps):
         s = estimate_normals(
-            PointCloud(xyz=src_xyz, mask=src_mask), k=cfg.k_normals
+            PointCloud(xyz=src_xyz + eps, mask=src_mask), k=cfg.k_normals
         )
         t = estimate_normals(
             PointCloud(xyz=tgt_xyz, mask=tgt_mask), k=cfg.k_normals
@@ -78,9 +85,11 @@ def main():
         res = _register_jit(s, t, SE3.identity(), cfg)
         return res.transform.R, res.transform.t, res.final_rmse
 
+    import jax.numpy as jnp
+
     run_j = jax.jit(run)
     args_in = (src.xyz, src.mask, tgt.xyz, tgt.mask)
-    out = run_j(*args_in)
+    out = run_j(*args_in, jnp.float32(0.0))
     jax.block_until_ready(out)  # compile + warm
     profile_cm = None
     if args.profile:
@@ -89,9 +98,10 @@ def main():
         profile_cm = trace_context(args.profile)
         profile_cm.__enter__()
     times = []
-    for _ in range(args.reps):
+    for rep in range(args.reps):
+        eps = jnp.float32((rep + 1) * 1e-7)
         t0 = time.perf_counter()
-        out = run_j(*args_in)
+        out = run_j(*args_in, eps)
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
     if profile_cm is not None:
@@ -148,12 +158,16 @@ def bench_cat(args):
         max_corr_dist=50.0,
         robust="huber",
     )
+    import jax.numpy as jnp
+
     res = register(src, tgt, cfg)
     jax.block_until_ready(res)
     times = []
-    for _ in range(args.reps):
+    for rep in range(args.reps):
+        # perturb per rep: defeats relay execution memoization
+        src_r = src.replace(xyz=src.xyz + jnp.float32((rep + 1) * 1e-6))
         t0 = time.perf_counter()
-        res = register(src, tgt, cfg)
+        res = register(src_r, tgt, cfg)
         jax.block_until_ready(res)
         times.append(time.perf_counter() - t0)
     wall = statistics.median(times)

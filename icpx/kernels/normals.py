@@ -61,10 +61,15 @@ def estimate_normals_xyz(
         )
         from icpx.kernels.voxel import auto_cell_size
 
-        qidx = build_tile_index(xyz, mask, tile_size=64)
+        # Self-queries tolerate big query tiles (a tile is always its own
+        # best candidate): Sq=256/K=6 measured BETTER radius coverage than
+        # Sq=64/K=8 with 25% fewer candidate distances.
+        qidx = build_tile_index(xyz, mask, tile_size=256)
         ridx = build_tile_index(xyz, mask, tile_size=256)
         radius = auto_cell_size(xyz, mask, scale=3.0)
-        cnt, _, cov = block_radius_moments(qidx.tiles, ridx, radius)
+        cnt, _, cov = block_radius_moments(
+            qidx.tiles, ridx, radius, k_tiles=6
+        )
         q_sorted = qidx.tiles.reshape(-1, 3)
         normal_s, ev = smallest_eigenvector_3x3(cov)
         total = jnp.maximum(ev[..., 0] + ev[..., 1] + ev[..., 2], 1e-20)
