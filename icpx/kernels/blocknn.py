@@ -150,20 +150,35 @@ def _box_sqdist(
     return jnp.sum(gap * gap, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("k_tiles",))
+@partial(jax.jit, static_argnames=("k_tiles", "max_chunk"))
 def block_nn(
     query_tiles: jax.Array,
     index: TileIndex,
     *,
     k_tiles: int = 8,
+    max_chunk: int = 32768,
 ) -> Tuple[jax.Array, jax.Array]:
     """NN of spatially-coherent query tiles (Tq, Sq, 3) into the index.
 
     Returns (sqdist (Tq*Sq,), original ref index (Tq*Sq,), flattened in
     query-tile order). Queries in a tile share candidate tiles — callers
     must present spatially sorted tiles (see module docstring).
+
+    Above `max_chunk` query tiles, processing runs in chunks (lax.map) so
+    the per-fold score tensor stays bounded (~chunk*Sq*S*4 bytes): 10M-pt
+    clouds would otherwise need a >10 GB intermediate.
     """
     tq, sq, _ = query_tiles.shape
+    if tq > max_chunk:
+        n_chunks, chunk = _split_chunks(tq, max_chunk)
+        qt = query_tiles.reshape(n_chunks, chunk, sq, 3)
+        d, i = jax.lax.map(
+            lambda q: block_nn(
+                q, index, k_tiles=k_tiles, max_chunk=max_chunk
+            ),
+            qt,
+        )
+        return d.reshape(-1), i.reshape(-1)
     s = index.tile_size
     cand_tiles, _ = _candidate_tiles(query_tiles, index, k_tiles)
 
@@ -202,6 +217,14 @@ def block_nn(
     ridx = index.order[best_p.reshape(-1)]  # (Tq*Sq,) original ids (-1 pad)
     d = jnp.where(ridx >= 0, d, jnp.inf)
     return d, jnp.maximum(ridx, 0)
+
+
+def _split_chunks(tq: int, max_chunk: int) -> Tuple[int, int]:
+    """Largest divisor chunking of tq with chunk <= max_chunk."""
+    chunk = max_chunk
+    while tq % chunk:
+        chunk -= 1
+    return tq // chunk, chunk
 
 
 def _candidate_tiles(query_tiles: jax.Array, index: TileIndex, k_tiles: int):
@@ -319,13 +342,14 @@ def block_nn_payload(
     return d.reshape(-1), best_pl.reshape(tq * sq, d_pl)
 
 
-@partial(jax.jit, static_argnames=("k_tiles",))
+@partial(jax.jit, static_argnames=("k_tiles", "max_chunk"))
 def block_radius_moments(
     query_tiles: jax.Array,
     index: TileIndex,
     radius: jax.Array,
     *,
     k_tiles: int = 8,
+    max_chunk: int = 8192,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Neighborhood moments within `radius` of each query — the gather-free
     normal-estimation primitive.
@@ -337,9 +361,24 @@ def block_radius_moments(
     numerically safe in fp32).
 
     Returns (count (N,), mean (N,3), cov (N,3,3)) with N = Tq*Sq, in
-    sorted-query order; zero count where no neighbors.
+    sorted-query order; zero count where no neighbors. Chunks query tiles
+    above `max_chunk` (see block_nn).
     """
     tq, sq, _ = query_tiles.shape
+    if tq > max_chunk:
+        n_chunks, chunk = _split_chunks(tq, max_chunk)
+        qt = query_tiles.reshape(n_chunks, chunk, sq, 3)
+        cnt, mean, cov = jax.lax.map(
+            lambda q: block_radius_moments(
+                q, index, radius, k_tiles=k_tiles, max_chunk=max_chunk
+            ),
+            qt,
+        )
+        return (
+            cnt.reshape(-1),
+            mean.reshape(-1, 3),
+            cov.reshape(-1, 3, 3),
+        )
     cand_tiles, q_cent = _candidate_tiles(query_tiles, index, k_tiles)
     r2 = radius * radius
 
