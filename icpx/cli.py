@@ -26,7 +26,7 @@ from pathlib import Path
 
 def _add_icp_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--objective", default="symmetric",
-                   choices=["symmetric", "p2plane", "p2p"])
+                   choices=["symmetric", "p2plane", "p2p", "gicp"])
     p.add_argument("--max-iters", type=int, default=10,
                    help="outer iterations (reference: 10, myicp.cpp:6)")
     p.add_argument("--diff-threshold", type=float, default=1.0,

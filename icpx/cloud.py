@@ -48,6 +48,8 @@ class PointCloud:
     xyz: jax.Array
     mask: jax.Array
     normals: Optional[jax.Array] = None
+    # optional (N, 3, 3) regularized neighborhood covariances (GICP)
+    covs: Optional[jax.Array] = None
 
     # ---- construction ------------------------------------------------------
 

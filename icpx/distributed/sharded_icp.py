@@ -52,6 +52,10 @@ def sharded_register(
     ring passes — use when the target cloud cannot be replicated per
     device.
     """
+    if config.objective == "gicp":
+        raise NotImplementedError(
+            "gicp is single-device for now (covariance payload plumbing)"
+        )
     n_shards = mesh.shape[points_axis]
     if src.capacity % n_shards or tgt.capacity % n_shards:
         raise ValueError(

@@ -133,3 +133,88 @@ def estimate_normals(
         cloud.xyz, cloud.mask, k=k, viewpoint=viewpoint, method=method
     )
     return cloud.replace(normals=normals)
+
+
+@partial(jax.jit, static_argnames=("k", "method"))
+def _covariances_xyz(xyz, mask, *, k, epsilon, method):
+    from icpx.kernels.eigh3 import eigh3x3
+
+    n = xyz.shape[0]
+    if method == "auto":
+        method = "block" if n >= BLOCK_THRESHOLD else "brute"
+    if method == "block":
+        from icpx.kernels.blocknn import (
+            block_radius_moments,
+            build_tile_index,
+        )
+        from icpx.kernels.voxel import auto_cell_size
+
+        qidx = build_tile_index(xyz, mask, tile_size=256)
+        ridx = build_tile_index(xyz, mask, tile_size=256)
+        radius = auto_cell_size(xyz, mask, scale=3.0)
+        cnt, _, cov_s = block_radius_moments(
+            qidx.tiles, ridx, radius, k_tiles=6
+        )
+        # unsort to original order
+        order = qidx.order
+        safe = jnp.where(order >= 0, order, n)
+        cov = (
+            jnp.zeros((n + 1, 3, 3), jnp.float32)
+            .at[safe]
+            .set(cov_s, mode="drop")[:n]
+        )
+        count = (
+            jnp.zeros((n + 1,), jnp.float32)
+            .at[safe]
+            .set(cnt, mode="drop")[:n]
+        )
+    else:
+        d2, idx = knn(xyz, xyz, k, ref_mask=mask)
+        neigh = xyz[idx]
+        wv = jnp.isfinite(d2).astype(jnp.float32)
+        wsum = jnp.maximum(jnp.sum(wv, axis=1, keepdims=True), 1.0)
+        mean = (
+            jnp.sum(neigh * wv[..., None], axis=1, keepdims=True)
+            / wsum[..., None]
+        )
+        centered = (neigh - mean) * wv[..., None]
+        cov = jnp.einsum("nki,nkj->nij", centered, centered) / wsum[..., None]
+        count = jnp.sum(wv, axis=1)
+
+    # GICP plane-to-plane regularization: replace eigenvalues with
+    # (epsilon, 1, 1) — confident along the surface, soft along the normal.
+    w, V = eigh3x3(cov)
+    d = jnp.stack(
+        [jnp.full_like(w[..., 0], epsilon), jnp.ones_like(w[..., 0]),
+         jnp.ones_like(w[..., 0])],
+        axis=-1,
+    )
+    reg = jnp.einsum("nik,nk,njk->nij", V, d, V)
+    # degenerate neighborhoods: isotropic identity (no orientation info)
+    ok = (count >= 3.0) & mask
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), reg.shape)
+    reg = jnp.where(ok[:, None, None], reg, eye)
+    normal = V[..., 0]  # smallest-eigenvalue direction
+    normal = jnp.where(ok[:, None], normal, 0.0)
+    return reg, normal
+
+
+def estimate_covariances(
+    cloud: PointCloud,
+    *,
+    k: int = 20,
+    epsilon: float = 1e-3,
+    method: str = "auto",
+) -> PointCloud:
+    """Attach GICP-regularized neighborhood covariances (Segal et al.
+    2009): eigenvalues replaced by (epsilon, 1, 1) so each point carries a
+    'plane-to-plane' information model. Also fills normals if absent."""
+    covs, normal = _covariances_xyz(
+        cloud.xyz, cloud.mask, k=k, epsilon=epsilon, method=method
+    )
+    out = cloud.replace(covs=covs)
+    if out.normals is None:
+        out = out.replace(
+            normals=jnp.where(cloud.mask[:, None], normal, 0.0)
+        )
+    return out

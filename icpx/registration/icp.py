@@ -37,7 +37,7 @@ from icpx.registration.step import (
     step_stats,
 )
 
-OBJECTIVES = ("symmetric", "p2plane", "p2p")
+OBJECTIVES = ("symmetric", "p2plane", "p2p", "gicp")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -109,6 +109,13 @@ def register(
         src = estimate_normals(src, k=config.k_normals)
     if needs_normals and tgt.normals is None:
         tgt = estimate_normals(tgt, k=config.k_normals)
+    if config.objective == "gicp":
+        from icpx.kernels.normals import estimate_covariances
+
+        if src.covs is None:
+            src = estimate_covariances(src, k=max(config.k_normals, 15))
+        if tgt.covs is None:
+            tgt = estimate_covariances(tgt, k=max(config.k_normals, 15))
     if init is None:
         init = SE3.identity()
     return _register_jit(src, tgt, init, config)
@@ -122,17 +129,23 @@ def _icp_scan(
     init: SE3,
     nn_fn,
     reduce=lambda x: x,
+    aux_rot=None,
 ) -> ICPResult:
     """The ICP iteration core shared by every execution mode.
 
-    `nn_fn(p) -> (q, n_q, dist)` produces matched target rows for the
-    transformed source; `reduce` sums pytrees across a points partition
-    (identity on a single device, psum when sharded).
+    `nn_fn(p) -> (q, aux_q, dist)` produces matched target rows for the
+    transformed source; `src_n`/`aux_q` are the per-objective auxiliary
+    channel (normals (N,3), or flattened covariances (N,9) for GICP).
+    `aux_rot(T, aux)` moves the source aux into the current frame
+    (default: vector rotation). `reduce` sums pytrees across a points
+    partition (identity on a single device, psum when sharded).
 
     A `lax.while_loop` so convergence ACTUALLY stops the work (the
     reference's `while diff > threshold` loop, `myicp.cpp:123`) — the
     convergence predicate is reduce()'d, so every shard exits together.
     """
+    if aux_rot is None:
+        aux_rot = lambda T, aux: T.rotate(aux)
 
     def cond(state):
         it, _, _, converged, *_ = state
@@ -142,7 +155,7 @@ def _icp_scan(
         it, transform, prev_rmse, converged, _, diffs, rmses, counts = state
 
         p = transform.apply(src_xyz)
-        n_p = transform.rotate(src_n)
+        n_p = aux_rot(transform, src_n)
         q, n_q, dist = nn_fn(p)
 
         w = correspondence_weights(config, p, n_p, q, n_q, dist, src_mask)
@@ -209,16 +222,33 @@ def _icp_scan(
 def _register_jit(
     src: PointCloud, tgt: PointCloud, init: SE3, config: ICPConfig
 ) -> ICPResult:
-    src_n = (
-        src.normals
-        if src.normals is not None
-        else jnp.zeros_like(src.xyz)
-    )
-    tgt_n = (
-        tgt.normals
-        if tgt.normals is not None
-        else jnp.zeros_like(tgt.xyz)
-    )
+    if config.objective == "gicp":
+        if src.covs is None or tgt.covs is None:
+            raise ValueError(
+                "gicp needs covariances (estimate_covariances first)"
+            )
+        n = src.capacity
+        src_n = src.covs.reshape(n, 9)
+        tgt_n = tgt.covs.reshape(tgt.capacity, 9)
+
+        def aux_rot(T, aux):
+            C = aux.reshape(-1, 3, 3)
+            return jnp.einsum(
+                "ij,njk,lk->nil", T.R, C, T.R
+            ).reshape(-1, 9)
+
+    else:
+        src_n = (
+            src.normals
+            if src.normals is not None
+            else jnp.zeros_like(src.xyz)
+        )
+        tgt_n = (
+            tgt.normals
+            if tgt.normals is not None
+            else jnp.zeros_like(tgt.xyz)
+        )
+        aux_rot = None
 
     method = config.resolve_nn(tgt.capacity)
     if method == "block":
@@ -253,7 +283,8 @@ def _register_jit(
             return tgt.xyz[idx], tgt_n[idx], jnp.sqrt(d2)
 
         return _icp_scan(
-            config, src_xyz, src_mask, src_n_s, init, nn_fn
+            config, src_xyz, src_mask, src_n_s, init, nn_fn,
+            aux_rot=aux_rot,
         )
 
     def nn_fn(p):
@@ -266,7 +297,9 @@ def _register_jit(
         )
         return tgt.xyz[idx], tgt_n[idx], jnp.sqrt(d2)
 
-    return _icp_scan(config, src.xyz, src.mask, src_n, init, nn_fn)
+    return _icp_scan(
+        config, src.xyz, src.mask, src_n, init, nn_fn, aux_rot=aux_rot
+    )
 
 
 def register_xyz(

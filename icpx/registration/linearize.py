@@ -122,6 +122,69 @@ def build_normal_equations_p2p(
     )
 
 
+def inv3x3(M: jax.Array) -> jax.Array:
+    """Batched explicit 3x3 inverse (cofactor form; VPU-friendly)."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > _EPS, det, _EPS)
+    adj = jnp.stack(
+        [
+            jnp.stack([A, -(b * i - c * h), b * f - c * e], axis=-1),
+            jnp.stack([B, a * i - c * g, -(a * f - c * d)], axis=-1),
+            jnp.stack([C, -(a * h - b * g), a * e - b * d], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj * inv_det[..., None, None]
+
+
+def build_normal_equations_gicp(
+    p: jax.Array,
+    q: jax.Array,
+    cov_p: jax.Array,  # (N, 3, 3) source covariances IN THE CURRENT FRAME
+    cov_q: jax.Array,  # (N, 3, 3) matched target covariances
+    w: jax.Array,
+    p_bar: jax.Array,
+) -> NormalEquations:
+    """Generalized ICP (Segal et al. 2009, plane-to-plane).
+
+    Residual r_i = p_i - q_i with per-pair information
+    W_i = (C_q_i + C_p_i)^-1; Jacobian about the demeaned source point
+    J_i = [-[p~_i]_x | I]. The 6x6 system psums like every other
+    objective. Reconstruction: T = T(p_bar) (exp(w), t) T(-p_bar).
+    """
+    from icpx.geometry.se3 import skew
+
+    W = inv3x3(cov_q + cov_p)  # (N, 3, 3)
+    r = p - q
+    pt = p - p_bar[None, :]
+    S = skew(pt)  # (N, 3, 3) = [p~]_x
+    wW = W * w[:, None, None]
+    # J = [-S | I]  ->  JtWJ blocks
+    StW = jnp.einsum("nji,njk->nik", S, wW)  # S^T (wW)
+    H_rr = jnp.einsum("nij,njk->ik", StW, S)
+    H_rt = -jnp.sum(StW, axis=0)
+    H_tt = jnp.sum(wW, axis=0)
+    g_r = -jnp.einsum("nij,nj->i", StW, r)
+    g_t = jnp.einsum("nij,nj->i", wW, r)
+    JtJ = jnp.block([[H_rr, H_rt], [H_rt.T, H_tt]])
+    Jtr = jnp.concatenate([g_r, g_t])
+    sq = jnp.sum(w * jnp.einsum("ni,nij,nj->n", r, W, r))
+    return NormalEquations(
+        JtJ=JtJ,
+        Jtr=Jtr,
+        sq_residual_sum=sq,
+        weight_sum=jnp.sum(w),
+        p_centroid_num=jnp.sum(p * w[:, None], axis=0),
+        q_centroid_num=jnp.sum(q * w[:, None], axis=0),
+    )
+
+
 def _reduce(J: jax.Array, r: jax.Array, w: jax.Array, p, q) -> NormalEquations:
     wJ = J * w[:, None]
     return NormalEquations(

@@ -71,6 +71,22 @@ def reconstruct_symmetric_transform(
     return lift @ second @ first
 
 
+def reconstruct_about_point(x: jax.Array, p_bar: jax.Array) -> SE3:
+    """SE(3) from a solve x = [omega, t] linearized about p_bar:
+    p' = p_bar + R (p - p_bar) + t  =>  T = (R, t + p_bar - R p_bar)."""
+    omega, t = x[..., :3], x[..., 3:]
+    angle = jnp.linalg.norm(omega, axis=-1)
+    axis = omega / jnp.maximum(angle, _EPS)[..., None]
+    axis = jnp.where(
+        angle[..., None] > _EPS,
+        axis,
+        jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], x.dtype), axis.shape),
+    )
+    R = rotation_from_axis_angle(axis, angle)
+    full_t = t + p_bar - jnp.einsum("...ij,...j->...i", R, p_bar)
+    return SE3(R=R, t=full_t)
+
+
 def reconstruct_p2plane_transform(x: jax.Array) -> SE3:
     """SE(3) from the classic point-to-plane solve x = [omega, t]:
     R = exp([omega]_x) (exact exponential of the linear estimate), t as-is.

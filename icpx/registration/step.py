@@ -125,6 +125,22 @@ def estimate_increment(
         t = q_bar - R @ p_bar
         return SE3(R=R, t=t)
 
+    if config.objective == "gicp":
+        from icpx.registration.linearize import build_normal_equations_gicp
+        from icpx.registration.solve import reconstruct_about_point
+
+        ne = build_normal_equations_gicp(
+            p,
+            q,
+            n_p.reshape(-1, 3, 3),
+            n_q.reshape(-1, 3, 3),
+            w,
+            p_bar,
+        )
+        JtJ, Jtr = reduce((ne.JtJ, ne.Jtr))
+        x = solve_damped_6x6(JtJ, Jtr, config.damping)
+        return reconstruct_about_point(x, p_bar)
+
     if config.objective == "symmetric":
         ne = build_normal_equations_symmetric(p, q, n_p, n_q, w, p_bar, q_bar)
         JtJ, Jtr = reduce((ne.JtJ, ne.Jtr))

@@ -91,3 +91,54 @@ def test_cli_odometry_loop_closure(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "loop closures:" in out
+
+def test_gicp_converges():
+    """Generalized ICP (plane-to-plane) recovers the transform."""
+    import jax.numpy as jnp
+
+    xyz = synthetic_surface(2500, seed=4)
+    src = PointCloud.create(xyz)
+    axis = np.array([0.1, -0.2, 0.97])
+    axis = axis / np.linalg.norm(axis)
+    gt = SE3.from_axis_angle(
+        jnp.asarray(axis, jnp.float32), 0.2,
+        jnp.asarray([0.1, -0.05, 0.03], jnp.float32),
+    )
+    rng2 = np.random.default_rng(7)
+    tgt = PointCloud.create(
+        np.asarray(gt.apply(src.xyz))[:2500][rng2.permutation(2500)]
+    )
+    res = register(
+        src, tgt,
+        ICPConfig(objective="gicp", max_iters=20, diff_threshold=1e-5),
+    )
+    rot_err, t_err = res.transform.distance_to(gt)
+    assert float(rot_err) < 3e-3, float(rot_err)
+    assert float(t_err) < 3e-3, float(t_err)
+
+
+def test_gicp_with_normal_direction_noise():
+    """Scanner-like noise along the normals: GICP still converges tightly
+    (its plane-to-plane information model soft-pedals the normal
+    direction)."""
+    import jax.numpy as jnp
+
+    from icpx.kernels.normals import estimate_normals
+
+    xyz = synthetic_surface(3000, seed=9)
+    pc = estimate_normals(PointCloud.create(xyz), k=10)
+    nrm = np.asarray(pc.normals)[:3000]
+    rng2 = np.random.default_rng(11)
+    noisy = xyz + nrm * rng2.normal(0, 0.01, (3000, 1)).astype(np.float32)
+    gt = SE3.from_axis_angle(
+        jnp.asarray([0.0, 0.0, 1.0]), 0.1, jnp.asarray([0.05, 0.02, 0.0])
+    )
+    src = PointCloud.create(noisy.astype(np.float32))
+    tgt = PointCloud.create(np.asarray(gt.apply(jnp.asarray(xyz))))
+    res = register(
+        src, tgt,
+        ICPConfig(objective="gicp", max_iters=25, diff_threshold=0.0,
+                  rmse_change_tol=1e-7),
+    )
+    _, t_err = res.transform.distance_to(gt)
+    assert float(t_err) < 5e-3, float(t_err)
