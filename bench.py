@@ -30,12 +30,20 @@ def main():
     ap.add_argument("--k-normals", type=int, default=10)
     ap.add_argument("--cat", action="store_true",
                     help="reference-parity run on the cat fixture pair")
+    ap.add_argument("--odometry", action="store_true",
+                    help="scan-to-scan odometry throughput (synthetic LiDAR)")
+    ap.add_argument("--frames", type=int, default=20)
     ap.add_argument("--profile", default=None,
                     help="jax.profiler trace directory")
     args = ap.parse_args()
 
+    from icpx.cli import _enable_compile_cache
+
+    _enable_compile_cache()
     if args.cat:
         return bench_cat(args)
+    if args.odometry:
+        return bench_odometry(args)
 
     import jax
     import jax.numpy as jnp
@@ -191,6 +199,62 @@ def bench_cat(args):
         f"# cat: wall={wall * 1e3:.1f}ms iters={int(res.iters)} "
         f"rmse={float(res.final_rmse):.2e} rot_err={float(rot_err):.2e} "
         f"t_err={float(t_err):.2e} converged={bool(res.converged)}",
+        file=sys.stderr,
+    )
+
+
+def bench_odometry(args):
+    """Scan-to-scan odometry throughput (BASELINE config 4): frames/s at
+    fixed ATE on the synthetic LiDAR sequence. Registered points/s counts
+    each frame's points once."""
+    import sys
+
+    import jax
+
+    from icpx.odometry.evaluate import ate_rmse
+    from icpx.odometry.frontend import OdometryConfig, run_odometry
+    from icpx.odometry.kitti import make_trajectory, make_world, simulate_scans
+    from icpx.registration.icp import ICPConfig
+
+    n_pts = args.n if args.n != 65536 else 8192  # default scan size
+    world = make_world(n_points=200000, extent=50.0, seed=0)
+    gt = make_trajectory(args.frames, speed=0.8, turn=0.03)
+    frames = simulate_scans(
+        world, gt, max_range=25.0, points_per_scan=n_pts, noise=0.01, seed=1
+    )
+    cfg = OdometryConfig(
+        icp=ICPConfig(
+            objective=args.objective,
+            max_iters=args.iters,
+            diff_threshold=0.0,
+            rmse_change_tol=1e-6,
+            robust="huber",
+            max_corr_dist=2.0,
+        ),
+        keyframe_trans=1.0,
+        keyframe_rot=0.2,
+    )
+    run_odometry(frames[:3], cfg)  # warm the executables
+    t0 = time.perf_counter()
+    res = run_odometry(frames, cfg)
+    wall = time.perf_counter() - t0
+    gt_rel = [gt[0].inverse() @ g for g in gt]
+    ate = ate_rmse(res.poses, gt_rel, align=False)
+    pts_per_sec = len(frames) * n_pts / wall
+    print(
+        json.dumps(
+            {
+                "metric": "odometry_registered_points_per_sec",
+                "value": round(pts_per_sec, 1),
+                "unit": "points/s",
+                "vs_baseline": round(pts_per_sec / NORTH_STAR_PER_CHIP, 4),
+            }
+        )
+    )
+    print(
+        f"# odometry frames={len(frames)} pts/scan={n_pts} wall={wall:.2f}s "
+        f"fps={len(frames) / wall:.1f} ATE={ate:.4f}m "
+        f"keyframes={len(res.keyframe_indices)}",
         file=sys.stderr,
     )
 

@@ -303,7 +303,27 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: CLI invocations are separate
+    processes, and first-compiles over a TPU tunnel run 30-90s — cached
+    reruns skip that entirely. ICPX_NO_COMPILE_CACHE=1 disables."""
+    import os
+
+    if os.environ.get("ICPX_NO_COMPILE_CACHE"):
+        return
+    import jax
+
+    cache = os.environ.get(
+        "ICPX_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "icpx", "jax"),
+    )
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main(argv=None) -> int:
+    _enable_compile_cache()
     ap = argparse.ArgumentParser(
         prog="icpx",
         description="TPU-native point-cloud registration & odometry engine",
