@@ -302,6 +302,38 @@ def _register_jit(
     )
 
 
+@partial(jax.jit, static_argnames=("config",))
+def register_batch(
+    src_xyz: jax.Array,  # (B, N, 3)
+    src_mask: jax.Array,  # (B, N)
+    src_normals: jax.Array,  # (B, N, 3)
+    tgt_xyz: jax.Array,
+    tgt_mask: jax.Array,
+    tgt_normals: jax.Array,
+    config: ICPConfig = ICPConfig(),
+) -> ICPResult:
+    """Register B independent pairs in one vmapped executable.
+
+    The single-chip DP-over-pairs throughput path (SURVEY P1): batching
+    keeps the MXU/VPU fed when individual pairs are small (odometry-scale
+    scans). Brute-force NN per pair; normals must be precomputed. For
+    multi-device DP use `distributed.sharded_register_pairs`.
+    """
+
+    def one(sx, sm, sn, tx, tm, tn):
+        def nn_fn(p):
+            d2, idx = nearest_neighbor(
+                p, tx, ref_mask=tm, tile_q=config.tile_q, tile_r=config.tile_r
+            )
+            return tx[idx], tn[idx], jnp.sqrt(d2)
+
+        return _icp_scan(config, sx, sm, sn, SE3.identity(), nn_fn)
+
+    return jax.vmap(one)(
+        src_xyz, src_mask, src_normals, tgt_xyz, tgt_mask, tgt_normals
+    )
+
+
 def register_xyz(
     src_xyz,
     tgt_xyz,

@@ -142,3 +142,46 @@ def test_gicp_with_normal_direction_noise():
     )
     _, t_err = res.transform.distance_to(gt)
     assert float(t_err) < 5e-3, float(t_err)
+
+
+def test_register_batch_matches_individual():
+    import jax.numpy as jnp
+
+    from icpx.kernels.normals import estimate_normals
+    from icpx.registration.icp import register_batch
+
+    b, n = 3, 768
+    srcs, tgts, gts = [], [], []
+    for i in range(b):
+        xyz = synthetic_surface(n, seed=30 + i)
+        s = estimate_normals(PointCloud.create(xyz, capacity=n), k=8)
+        gt = SE3.from_axis_angle(
+            jnp.asarray([0.0, 0.0, 1.0]), 0.1 + 0.05 * i,
+            jnp.asarray([0.05, -0.02 * i, 0.0]),
+        )
+        rng2 = np.random.default_rng(i)
+        t = estimate_normals(
+            PointCloud.create(
+                np.asarray(gt.apply(s.xyz))[:n][rng2.permutation(n)],
+                capacity=n,
+            ),
+            k=8,
+        )
+        srcs.append(s); tgts.append(t); gts.append(gt)
+    stack = lambda cs, f: np.stack([np.asarray(f(c)) for c in cs])
+    cfg = ICPConfig(max_iters=10, diff_threshold=1e-5, k_normals=8,
+                    tile_q=256, tile_r=256)
+    res = register_batch(
+        jnp.asarray(stack(srcs, lambda c: c.xyz)),
+        jnp.asarray(stack(srcs, lambda c: c.mask)),
+        jnp.asarray(stack(srcs, lambda c: c.normals)),
+        jnp.asarray(stack(tgts, lambda c: c.xyz)),
+        jnp.asarray(stack(tgts, lambda c: c.mask)),
+        jnp.asarray(stack(tgts, lambda c: c.normals)),
+        cfg,
+    )
+    for i in range(b):
+        est = SE3(R=res.transform.R[i], t=res.transform.t[i])
+        rot_err, t_err = est.distance_to(gts[i])
+        assert float(rot_err) < 5e-3, f"pair {i}"
+        assert float(t_err) < 5e-3, f"pair {i}"
