@@ -210,11 +210,8 @@ def rotation_log(R: jax.Array) -> jax.Array:
         theta[..., None] / jnp.maximum(2.0 * sin_theta[..., None], _EPS),
     )
     generic = scale * w
-    # Near pi: use the diagonal to recover axis robustly.
-    B = (R + jnp.swapaxes(R, -1, -2)) / 2.0 - jnp.eye(3, dtype=R.dtype) * (
-        cos_theta[..., None, None]
-    )
-    # axis² ∝ diag of (R + I)/2 at θ=π; pick the largest diagonal column.
+    # Near pi: recover the axis from the columns of R + I (each is
+    # 2 cos^2(θ/2)-scaled axis at θ=π); pick the largest for stability.
     A = R + jnp.eye(3, dtype=R.dtype)
     col = jnp.argmax(jnp.linalg.norm(A, axis=-2), axis=-1)
     axis_pi = jnp.take_along_axis(A, col[..., None, None], axis=-1)[..., 0]
@@ -224,5 +221,4 @@ def rotation_log(R: jax.Array) -> jax.Array:
     # Fix sign with the skew part (zero exactly at π; any sign is correct there)
     sign = jnp.where(jnp.sum(axis_pi * w, axis=-1, keepdims=True) < 0, -1.0, 1.0)
     near_pi = (jnp.pi - theta)[..., None] < 1e-3
-    del B
     return jnp.where(near_pi, sign * axis_pi * theta[..., None], generic)

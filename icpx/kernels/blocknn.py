@@ -123,11 +123,13 @@ def build_tile_index(
     box_hi = jnp.max(
         jnp.where(valid[..., None], tiles, -PAD_COORD), axis=1
     )
-    cnt = jnp.maximum(valid.sum(axis=1, keepdims=True), 1)
-    centroids = (
-        jnp.where(valid[..., None], tiles, 0.0).sum(axis=1) / cnt
+    n_valid = valid.sum(axis=1, keepdims=True)
+    centroids = jnp.where(valid[..., None], tiles, 0.0).sum(axis=1) / (
+        jnp.maximum(n_valid, 1)
     )
-    centroids = jnp.where(cnt > 0, centroids, PAD_COORD)
+    # empty (all-padding) tiles: sentinel centroid so they never rank as
+    # candidates even if the box-gap term is ever removed
+    centroids = jnp.where(n_valid > 0, centroids, PAD_COORD)
     return TileIndex(
         tiles=tiles,
         box_lo=box_lo,
@@ -170,15 +172,14 @@ def block_nn(
     """
     tq, sq, _ = query_tiles.shape
     if tq > max_chunk:
-        n_chunks, chunk = _split_chunks(tq, max_chunk)
-        qt = query_tiles.reshape(n_chunks, chunk, sq, 3)
+        qt, n_chunks, chunk = _pad_chunks(query_tiles, max_chunk)
         d, i = jax.lax.map(
             lambda q: block_nn(
                 q, index, k_tiles=k_tiles, max_chunk=max_chunk
             ),
             qt,
         )
-        return d.reshape(-1), i.reshape(-1)
+        return d.reshape(-1)[: tq * sq], i.reshape(-1)[: tq * sq]
     s = index.tile_size
     cand_tiles, _ = _candidate_tiles(query_tiles, index, k_tiles)
 
@@ -219,12 +220,19 @@ def block_nn(
     return d, jnp.maximum(ridx, 0)
 
 
-def _split_chunks(tq: int, max_chunk: int) -> Tuple[int, int]:
-    """Largest divisor chunking of tq with chunk <= max_chunk."""
-    chunk = max_chunk
-    while tq % chunk:
-        chunk -= 1
-    return tq // chunk, chunk
+def _pad_chunks(query_tiles: jax.Array, max_chunk: int):
+    """Pad the query-tile axis with sentinel tiles to a multiple of the
+    chunk size and reshape to (n_chunks, chunk, Sq, 3). A divisor search
+    would collapse to tiny chunks for prime-ish tile counts; sentinel
+    tiles cost one extra chunk at most and their outputs are sliced off."""
+    tq, sq, _ = query_tiles.shape
+    chunk = min(max_chunk, tq)
+    pad = (-tq) % chunk
+    if pad:
+        query_tiles = jnp.concatenate(
+            [query_tiles, jnp.full((pad, sq, 3), PAD_COORD, jnp.float32)]
+        )
+    return query_tiles.reshape(-1, chunk, sq, 3), (tq + pad) // chunk, chunk
 
 
 def _candidate_tiles(query_tiles: jax.Array, index: TileIndex, k_tiles: int):
@@ -366,18 +374,18 @@ def block_radius_moments(
     """
     tq, sq, _ = query_tiles.shape
     if tq > max_chunk:
-        n_chunks, chunk = _split_chunks(tq, max_chunk)
-        qt = query_tiles.reshape(n_chunks, chunk, sq, 3)
+        qt, n_chunks, chunk = _pad_chunks(query_tiles, max_chunk)
         cnt, mean, cov = jax.lax.map(
             lambda q: block_radius_moments(
                 q, index, radius, k_tiles=k_tiles, max_chunk=max_chunk
             ),
             qt,
         )
+        n = tq * sq
         return (
-            cnt.reshape(-1),
-            mean.reshape(-1, 3),
-            cov.reshape(-1, 3, 3),
+            cnt.reshape(-1)[:n],
+            mean.reshape(-1, 3)[:n],
+            cov.reshape(-1, 3, 3)[:n],
         )
     cand_tiles, q_cent = _candidate_tiles(query_tiles, index, k_tiles)
     r2 = radius * radius

@@ -137,7 +137,11 @@ def nearest_neighbor(
     if use_pallas:
         from icpx.kernels.knn_pallas import nn_pallas
 
-        return nn_pallas(query, ref, ref_mask=ref_mask)
+        # forward the tiling knobs (nn_pallas clamps them to VMEM-safe
+        # hardware-aligned values)
+        return nn_pallas(
+            query, ref, ref_mask=ref_mask, tile_q=tile_q, tile_r=tile_r
+        )
     return _nearest_neighbor_jnp(
         query, ref, ref_mask=ref_mask, tile_q=tile_q, tile_r=tile_r
     )

@@ -108,6 +108,13 @@ def nn_pallas(
 
     tile_q = min(tile_q, max(_round_up(nq, 8), 8))
     tile_r = min(tile_r, max(_round_up(nr, 128), 128))
+    # VMEM safety: the (tile_q, tile_r) score block must stay well under
+    # the ~16 MB budget; shrink tile_q first (callers may pass the jnp
+    # path's larger defaults through `nearest_neighbor`).
+    tile_r = min(tile_r, 4096)
+    while tile_q > 8 and tile_q * tile_r * 4 > 8 * 1024 * 1024:
+        tile_q //= 2
+    tile_q = max(_round_up(tile_q, 8), 8)
     nq_p = _round_up(nq, tile_q)
     nr_p = _round_up(nr, tile_r)
     # Augmented coordinates: q8 = [-2x, -2y, -2z, 1, 0...] and

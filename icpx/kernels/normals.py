@@ -22,6 +22,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from icpx.cloud import PointCloud
 from icpx.kernels.eigh3 import smallest_eigenvector_3x3
@@ -44,6 +45,11 @@ def estimate_normals_xyz(
 
     Returns (normals (N, 3) unit, curvature (N,)) where curvature is PCL's
     surface-variation lambda_0 / (lambda_0+lambda_1+lambda_2).
+
+    method="brute" is exact k-NN PCA; method="block" (auto above 32768
+    points) is radius PCA with the radius derived from k (the radius that
+    holds ~k surface neighbors) — same statistics, different neighborhood
+    definition; see `_block_radius_cov`.
     """
     n = xyz.shape[0]
     mask = jnp.ones((n,), bool) if mask is None else mask
@@ -51,49 +57,17 @@ def estimate_normals_xyz(
         method = "block" if n >= BLOCK_THRESHOLD else "brute"
 
     if method == "block":
-        # Radius-based PCA via gather-free moment accumulation: the large-
-        # cloud path (radius ~ k-NN neighborhood scale). PCL offers the
-        # same radius mode (`setRadiusSearch`, cf. rejected alternative at
-        # `myicp.cpp:161`).
-        from icpx.kernels.blocknn import (
-            block_radius_moments,
-            build_tile_index,
-        )
-        from icpx.kernels.voxel import auto_cell_size
-
-        # Self-queries tolerate big query tiles (a tile is always its own
-        # best candidate): Sq=256/K=6 measured BETTER radius coverage than
-        # Sq=64/K=8 with 25% fewer candidate distances.
-        qidx = build_tile_index(xyz, mask, tile_size=256)
-        ridx = build_tile_index(xyz, mask, tile_size=256)
-        radius = auto_cell_size(xyz, mask, scale=3.0)
-        cnt, _, cov = block_radius_moments(
-            qidx.tiles, ridx, radius, k_tiles=6
-        )
-        q_sorted = qidx.tiles.reshape(-1, 3)
-        normal_s, ev = smallest_eigenvector_3x3(cov)
+        cnt, cov = _block_radius_cov(xyz, mask, k)
+        normal, ev = smallest_eigenvector_3x3(cov)
         total = jnp.maximum(ev[..., 0] + ev[..., 1] + ev[..., 2], 1e-20)
-        curv_s = jnp.maximum(ev[..., 0], 0.0) / total
+        curv = jnp.maximum(ev[..., 0], 0.0) / total
         vp = jnp.asarray(viewpoint, xyz.dtype)
-        flip = jnp.sum(normal_s * (vp[None, :] - q_sorted), axis=-1) < 0.0
-        normal_s = jnp.where(flip[:, None], -normal_s, normal_s)
+        flip = jnp.sum(normal * (vp[None, :] - xyz), axis=-1) < 0.0
+        normal = jnp.where(flip[:, None], -normal, normal)
         # degenerate neighborhoods (< 3 points in radius): no normal
         ok = cnt >= 3.0
-        normal_s = jnp.where(ok[:, None], normal_s, 0.0)
-        curv_s = jnp.where(ok, curv_s, 0.0)
-        # unsort: sorted position -> original row (pads dropped)
-        order = qidx.order
-        safe = jnp.where(order >= 0, order, n)
-        normals = (
-            jnp.zeros((n + 1, 3), jnp.float32)
-            .at[safe]
-            .set(normal_s, mode="drop")[:n]
-        )
-        curv = (
-            jnp.zeros((n + 1,), jnp.float32)
-            .at[safe]
-            .set(curv_s, mode="drop")[:n]
-        )
+        normals = jnp.where(ok[:, None], normal, 0.0)
+        curv = jnp.where(ok, curv, 0.0)
     else:
         d2, idx = knn(xyz, xyz, k, ref_mask=mask)
         normals, curv = _pca_normals(xyz, xyz[idx], d2, viewpoint)
@@ -101,6 +75,46 @@ def estimate_normals_xyz(
     normals = jnp.where(mask[:, None], normals, 0.0)
     curv = jnp.where(mask, curv, 0.0)
     return normals, curv
+
+
+def _block_radius_cov(xyz, mask, k):
+    """Shared large-cloud neighborhood covariance: gather-free radius
+    moments in ORIGINAL point order.
+
+    The k parameter maps to an equivalent search radius (~ the radius
+    containing k neighbors on a surface: spacing * 3 * sqrt(k/10), which
+    matches the kNN path at the default k=10) — PCL's `setRadiusSearch`
+    mode (cf. the rejected alternative at `myicp.cpp:161`).
+
+    Returns (count (N,), cov (N, 3, 3)).
+    """
+    from icpx.kernels.blocknn import block_radius_moments, build_tile_index
+    from icpx.kernels.voxel import auto_cell_size
+
+    n = xyz.shape[0]
+    # Self-queries tolerate big query tiles (a tile is always its own
+    # best candidate): Sq=256/K=6 measured BETTER radius coverage than
+    # Sq=64/K=8 with 25% fewer candidate distances.
+    idx = build_tile_index(xyz, mask, tile_size=256)
+    scale = 3.0 * float(np.sqrt(max(k, 1) / 10.0))
+    radius = auto_cell_size(xyz, mask, scale=scale)
+    cnt_s, _, cov_s = block_radius_moments(
+        idx.tiles, idx, radius, k_tiles=6
+    )
+    # unsort: sorted position -> original row (pads dropped)
+    order = idx.order
+    safe = jnp.where(order >= 0, order, n)
+    cov = (
+        jnp.zeros((n + 1, 3, 3), jnp.float32)
+        .at[safe]
+        .set(cov_s, mode="drop")[:n]
+    )
+    cnt = (
+        jnp.zeros((n + 1,), jnp.float32)
+        .at[safe]
+        .set(cnt_s, mode="drop")[:n]
+    )
+    return cnt, cov
 
 
 def _pca_normals(query, neigh, d2, viewpoint):
@@ -143,31 +157,7 @@ def _covariances_xyz(xyz, mask, *, k, epsilon, method):
     if method == "auto":
         method = "block" if n >= BLOCK_THRESHOLD else "brute"
     if method == "block":
-        from icpx.kernels.blocknn import (
-            block_radius_moments,
-            build_tile_index,
-        )
-        from icpx.kernels.voxel import auto_cell_size
-
-        qidx = build_tile_index(xyz, mask, tile_size=256)
-        ridx = build_tile_index(xyz, mask, tile_size=256)
-        radius = auto_cell_size(xyz, mask, scale=3.0)
-        cnt, _, cov_s = block_radius_moments(
-            qidx.tiles, ridx, radius, k_tiles=6
-        )
-        # unsort to original order
-        order = qidx.order
-        safe = jnp.where(order >= 0, order, n)
-        cov = (
-            jnp.zeros((n + 1, 3, 3), jnp.float32)
-            .at[safe]
-            .set(cov_s, mode="drop")[:n]
-        )
-        count = (
-            jnp.zeros((n + 1,), jnp.float32)
-            .at[safe]
-            .set(cnt, mode="drop")[:n]
-        )
+        count, cov = _block_radius_cov(xyz, mask, k)
     else:
         d2, idx = knn(xyz, xyz, k, ref_mask=mask)
         neigh = xyz[idx]

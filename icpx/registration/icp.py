@@ -103,7 +103,27 @@ def register(
 
     Estimates normals (k = config.k_normals) for either cloud that lacks
     them when the objective needs normals.
+
+    Both clouds are internally shifted by the target centroid before
+    solving and the shift is composed back into the returned transform:
+    fp32 squared-distance expansions lose ~half their digits at
+    coordinate magnitudes like UTM eastings (1e5-1e7), and the block-NN
+    validity heuristics assume post-centering extents << 1e6.
     """
+    if init is None:
+        init = SE3.identity()
+
+    # Auto-centering FIRST: normal/covariance estimation and NN scoring
+    # use ||a||^2+||b||^2-2ab expansions whose fp32 error scales with the
+    # squared coordinate magnitude — at offsets ~1e3+ it drowns real
+    # point spacings. Solve in target-centroid coordinates, compose back.
+    center = tgt.centroid()
+    shift = SE3.identity().replace(t=-center)
+    unshift = SE3.identity().replace(t=center)
+    src = src.with_xyz(src.xyz - center[None, :])
+    tgt = tgt.with_xyz(tgt.xyz - center[None, :])
+    init_c = shift @ init @ unshift
+
     needs_normals = config.objective in ("symmetric", "p2plane")
     if needs_normals and config.objective == "symmetric" and src.normals is None:
         src = estimate_normals(src, k=config.k_normals)
@@ -116,9 +136,9 @@ def register(
             src = estimate_covariances(src, k=max(config.k_normals, 15))
         if tgt.covs is None:
             tgt = estimate_covariances(tgt, k=max(config.k_normals, 15))
-    if init is None:
-        init = SE3.identity()
-    return _register_jit(src, tgt, init, config)
+
+    res = _register_jit(src, tgt, init_c, config)
+    return res.replace(transform=unshift @ res.transform @ shift)
 
 
 def _icp_scan(
@@ -148,11 +168,11 @@ def _icp_scan(
         aux_rot = lambda T, aux: T.rotate(aux)
 
     def cond(state):
-        it, _, _, converged, *_ = state
-        return (it < config.max_iters) & ~converged
+        it, _, _, stop, _, *_ = state
+        return (it < config.max_iters) & ~stop
 
     def body(state):
-        it, transform, prev_rmse, converged, _, diffs, rmses, counts = state
+        it, transform, prev_rmse, stop, failed, diffs, rmses, counts = state
 
         p = transform.apply(src_xyz)
         n_p = aux_rot(transform, src_n)
@@ -167,8 +187,8 @@ def _icp_scan(
             config, new_transform.apply(src_xyz), q, dist, src_mask, reduce
         )
         # Degraded-mode guard (SURVEY §5.3): a non-finite or correspondence-
-        # starved update is rejected, keeping the previous transform — the
-        # loop reports non-convergence instead of propagating NaNs.
+        # starved update is rejected, keeping the previous transform. The
+        # loop stops AND reports failure (converged stays False).
         from icpx.distributed.fault import degenerate_solve_guard
 
         new_transform, ok = degenerate_solve_guard(
@@ -178,7 +198,7 @@ def _icp_scan(
         diff = jnp.where(ok, diff, jnp.float32(jnp.inf))
         rmse = jnp.where(ok, rmse, prev_rmse)
 
-        now_converged = (~ok) | (diff < config.diff_threshold) | (
+        now_stop = (~ok) | (diff < config.diff_threshold) | (
             (config.rmse_change_tol > 0)
             & (jnp.abs(prev_rmse - rmse) < config.rmse_change_tol)
         )
@@ -186,8 +206,8 @@ def _icp_scan(
             it + 1,
             new_transform,
             rmse,
-            now_converged,
-            count,
+            now_stop,
+            failed | ~ok,
             diffs.at[it].set(diff),
             rmses.at[it].set(rmse),
             counts.at[it].set(count),
@@ -199,22 +219,23 @@ def _icp_scan(
         init,
         jnp.float32(jnp.inf),
         jnp.array(False),
-        jnp.float32(0.0),
+        jnp.array(False),
         nan_hist,
         nan_hist,
         jnp.zeros((config.max_iters,), jnp.float32),
     )
-    (it, transform, rmse, converged, count, diffs, rmses, counts) = (
+    (it, transform, rmse, stop, failed, diffs, rmses, counts) = (
         jax.lax.while_loop(cond, body, state0)
     )
+    last = jnp.maximum(it - 1, 0)
     return ICPResult(
         transform=transform,
         iters=it,
-        converged=converged,
+        converged=stop & ~failed,
         diff_history=diffs,
         rmse_history=rmses,
         final_rmse=rmse,
-        inlier_count=count.astype(jnp.int32),
+        inlier_count=counts[last].astype(jnp.int32),
     )
 
 

@@ -84,44 +84,6 @@ def build_normal_equations_p2plane(
     return _reduce(J, r, w, p, q)
 
 
-def build_normal_equations_p2p(
-    p: jax.Array,
-    q: jax.Array,
-    w: jax.Array,
-) -> NormalEquations:
-    """Point-to-point Gauss-Newton: 3-vector residual r_i = p_i - q_i,
-    J_i = [ -[p_i]_x | I ] stacked per component. (Alternative to the
-    Horn inner solve; used by the sharded path where a closed-form SVD
-    per shard can't be psum-merged as cleanly.)"""
-    r = p - q  # (N, 3)
-    zeros = jnp.zeros_like(p[..., 0])
-    px, py, pz = p[..., 0], p[..., 1], p[..., 2]
-    # J for component k has rotation block row -[p]_x[k, :] and identity e_k.
-    # Build (N, 3, 6):
-    Jrot = jnp.stack(
-        [
-            jnp.stack([zeros, pz, -py], axis=-1),
-            jnp.stack([-pz, zeros, px], axis=-1),
-            jnp.stack([py, -px, zeros], axis=-1),
-        ],
-        axis=-2,
-    )  # (N, 3, 3) = -[p]_x
-    Jt = jnp.broadcast_to(jnp.eye(3, dtype=p.dtype), Jrot.shape)
-    J = jnp.concatenate([Jrot, Jt], axis=-1)  # (N, 3, 6)
-    wJ = J * w[..., None, None]
-    JtJ = jnp.einsum("nki,nkj->ij", wJ, J)
-    Jtr = jnp.einsum("nki,nk->i", wJ, r)
-    sq = jnp.sum(w * jnp.sum(r * r, axis=-1))
-    return NormalEquations(
-        JtJ=JtJ,
-        Jtr=Jtr,
-        sq_residual_sum=sq,
-        weight_sum=jnp.sum(w),
-        p_centroid_num=jnp.sum(p * w[:, None], axis=0),
-        q_centroid_num=jnp.sum(q * w[:, None], axis=0),
-    )
-
-
 def inv3x3(M: jax.Array) -> jax.Array:
     """Batched explicit 3x3 inverse (cofactor form; VPU-friendly)."""
     a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]

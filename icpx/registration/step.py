@@ -15,9 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from icpx.geometry.se3 import SE3
-from icpx.registration.horn import horn_align
 from icpx.registration.linearize import (
-    build_normal_equations_p2p,
     build_normal_equations_p2plane,
     build_normal_equations_symmetric,
     mad_scale,
@@ -171,7 +169,10 @@ def step_stats(
         jnp.sum(vmask),
     )
     diff, sq, count = reduce(local)
-    count = jnp.maximum(count, 1.0)
+    # clamp only the divisor: the reported count must stay truthful (a
+    # zero-inlier iteration is a failure signal callers rely on)
     return StepStats(
-        diff=diff, rmse=jnp.sqrt(sq / count), inlier_count=count
+        diff=diff,
+        rmse=jnp.sqrt(sq / jnp.maximum(count, 1.0)),
+        inlier_count=count,
     )

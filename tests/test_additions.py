@@ -185,3 +185,68 @@ def test_register_batch_matches_individual():
         rot_err, t_err = est.distance_to(gts[i])
         assert float(rot_err) < 5e-3, f"pair {i}"
         assert float(t_err) < 5e-3, f"pair {i}"
+
+
+def test_failed_registration_reports_not_converged():
+    """Zero correspondences (impossible gate) must NOT report converged."""
+    xyz = synthetic_surface(500, seed=1)
+    src = PointCloud.create(xyz)
+    tgt = PointCloud.create(xyz + np.float32(10.0))
+    res = register(
+        src, tgt, ICPConfig(max_iters=5, max_corr_dist=1e-6)
+    )
+    assert not bool(res.converged)
+    assert int(res.inlier_count) == 0
+    assert np.isfinite(np.asarray(res.transform.t)).all()
+
+
+def test_large_offset_coordinates():
+    """Clouds far from the origin register exactly like centred ones
+    (register() auto-centers; the block-NN validity heuristics only see
+    centred coordinates). The offset magnitude is bounded by fp32 INGEST
+    precision, not by the solver: at 2e4 the quantization step (~2e-3)
+    still resolves the surface detail relative to its ~0.01 point
+    spacing; larger magnitudes need f64 centring at ingest (NOTES.md)."""
+    import jax.numpy as jnp
+
+    offset = np.asarray([2.0e3, -1.5e3, 300.0], np.float32)
+    xyz = synthetic_surface(40000, seed=2) + offset
+    src = PointCloud.create(xyz)
+    # rotate about the cloud centroid (a rotation about the world origin
+    # would fling a UTM cloud megameters away)
+    rot = SE3.from_axis_angle(
+        jnp.asarray([0.0, 0.0, 1.0]), 0.1, jnp.asarray([0.05, 0.02, 0.0])
+    )
+    c = SE3.identity().replace(t=jnp.asarray(offset))
+    gt = c @ rot @ c.inverse()
+    rng2 = np.random.default_rng(3)
+    n = 40000
+    tgt = PointCloud.create(
+        np.asarray(gt.apply(src.xyz))[:n][rng2.permutation(n)]
+    )
+    # n >= 32768 -> auto block path (the one with validity heuristics)
+    res = register(src, tgt, ICPConfig(max_iters=12, diff_threshold=0.0,
+                                       rmse_change_tol=1e-6))
+    rot_err, t_err = res.transform.distance_to(gt)
+    assert bool(res.converged)
+    assert float(rot_err) < 5e-3, float(rot_err)
+    assert float(t_err) < 5e-2, float(t_err)
+
+
+def test_block_nn_chunking_non_divisible():
+    """Prime-ish tile counts go through the padded-chunk path."""
+    from icpx.kernels.blocknn import block_nn, build_tile_index
+    from icpx.kernels.knn import _nearest_neighbor_jnp
+    import jax.numpy as jnp
+
+    r = synthetic_surface(9000, seed=0)
+    q = synthetic_surface(8320, seed=1)  # 130 tiles of 64
+    ridx = build_tile_index(r, tile_size=256)
+    qidx = build_tile_index(q, tile_size=64)
+    d_c, i_c = block_nn(qidx.tiles, ridx, k_tiles=8, max_chunk=48)
+    d_f, i_f = block_nn(qidx.tiles, ridx, k_tiles=8)
+    valid = np.asarray(qidx.order) >= 0
+    assert np.allclose(
+        np.asarray(d_c)[valid], np.asarray(d_f)[valid], atol=1e-6
+    )
+    assert np.array_equal(np.asarray(i_c)[valid], np.asarray(i_f)[valid])
