@@ -41,6 +41,14 @@ class OdometryConfig:
     keyframe_trans: float = 0.5  # spawn keyframe beyond this motion
     keyframe_rot: float = 0.15  # radians
     constant_velocity_init: bool = True
+    # Velocity-model smoothing factor (EMA in twist space; 1.0 = use the
+    # raw last step, the default). In locally-degenerate scenes the raw
+    # constant-velocity init forms a positive feedback loop with IRLS
+    # correspondence bias (measured runaway 1.27m max rel err -> 0.04m
+    # with smoothing on a smooth-ground world, NOTES.md); set ~0.5-0.7
+    # there. Smoothing lags aggressive motion (large steps/turns), so it
+    # is opt-in.
+    velocity_damping: float = 1.0
     # "scan_to_keyframe": register against the latest keyframe cloud.
     # "scan_to_map": register against a maintained voxel map (keyframes
     # merge into it) — drifts less, costs a map insert per keyframe.
@@ -168,7 +176,16 @@ def run_odometry(
             consecutive_rejects = 0
             model_warm = True
         poses.append(pose)
-        velocity = prev_rel.inverse() @ rel
+        vel_raw = prev_rel.inverse() @ rel
+        if config.velocity_damping < 1.0:
+            # EMA in twist space: zero steady-state lag for constant
+            # motion, attenuates the registration-error feedback loop
+            b = config.velocity_damping
+            velocity = SE3.exp(
+                (1.0 - b) * velocity.log() + b * vel_raw.log()
+            )
+        else:
+            velocity = vel_raw
 
         trans = float(jnp.linalg.norm(rel.t))
         rot = float(rel.rotation_angle())

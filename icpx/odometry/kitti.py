@@ -69,12 +69,21 @@ def load_kitti_poses(path) -> List[SE3]:
 
 
 def make_world(
-    n_points: int = 200000, extent: float = 60.0, seed: int = 0
+    n_points: int = 200000,
+    extent: float = 60.0,
+    seed: int = 0,
+    n_posts: int = 60,
+    ground_frac: float = 0.7,
 ) -> np.ndarray:
     """Synthetic outdoor-ish world: undulating ground + scattered vertical
-    structures (posts/walls), (N, 3) float32."""
+    structures (posts/walls), (N, 3) float32.
+
+    Sparse structures make registration degenerate in places (smooth
+    ground slides along its own undulation — the LiDAR corridor problem);
+    raise `n_posts` for a well-constrained scene.
+    """
     rng = np.random.default_rng(seed)
-    n_ground = int(n_points * 0.7)
+    n_ground = int(n_points * ground_frac)
     g_xy = rng.uniform(-extent, extent, (n_ground, 2)).astype(np.float32)
     g_z = (
         1.5 * np.sin(0.08 * g_xy[:, 0]) * np.cos(0.06 * g_xy[:, 1])
@@ -83,7 +92,6 @@ def make_world(
     ground = np.column_stack([g_xy, g_z])
 
     n_struct = n_points - n_ground
-    n_posts = 60
     centers = rng.uniform(-extent, extent, (n_posts, 2)).astype(np.float32)
     sizes = rng.uniform(0.3, 3.0, n_posts).astype(np.float32)
     heights = rng.uniform(2.0, 8.0, n_posts).astype(np.float32)

@@ -57,6 +57,11 @@ class ICPConfig:
     # (1.0 = keep all). Robust to partial overlap.
     trim_fraction: float = 1.0
     damping: float = 1e-6
+    # LOAM-style degeneracy handling: zero the update along 6x6-JtJ
+    # eigendirections with eigenvalue < clamp * max eigenvalue. In scenes
+    # with a flat objective direction (corridors, smooth ground) ICP
+    # otherwise WANDERS along it, chasing its init + IRLS bias. 0 = off.
+    degeneracy_clamp: float = 0.0
     # NN search: "brute" = tiled O(N^2) (Pallas-fused on TPU), "block" =
     # Morton-tiled IVF-style O(N*K*S) (the large-cloud path), "auto" picks
     # block above `block_auto_threshold` target points.

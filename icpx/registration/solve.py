@@ -25,20 +25,38 @@ _EPS = 1e-12
 
 
 def solve_damped_6x6(
-    JtJ: jax.Array, Jtr: jax.Array, damping: float | jax.Array = 1e-6
+    JtJ: jax.Array,
+    Jtr: jax.Array,
+    damping: float | jax.Array = 1e-6,
+    degeneracy_clamp: float = 0.0,
 ) -> jax.Array:
     """Solve (JtJ + lambda * diag(JtJ) + eps I) x = -Jtr. Returns (..., 6).
 
     Levenberg-Marquardt-style multiplicative damping keeps the solve
     well-posed for degenerate geometry (planar regions -> rank-deficient
     JtJ; the reference crashes into this, see comment at `func.cpp:87`).
+
+    With `degeneracy_clamp` > 0, the update is additionally projected off
+    JtJ eigendirections whose eigenvalue is below clamp * max eigenvalue
+    (Zhang & Singh "On Degeneracy of Optimization-based State Estimation"):
+    in a flat objective direction ICP has no information, and moving along
+    it just chases the init and the IRLS bias.
     """
     diag = jnp.diagonal(JtJ, axis1=-2, axis2=-1)
     damp = damping * diag + 1e-9
     A = JtJ + jnp.zeros_like(JtJ).at[..., jnp.arange(6), jnp.arange(6)].set(damp)
     # cho_solve is the cheap SPD path; 6x6 so cost is negligible either way.
     L, low = jax.scipy.linalg.cho_factor(A, lower=True)
-    return jax.scipy.linalg.cho_solve((L, low), -Jtr)
+    x = jax.scipy.linalg.cho_solve((L, low), -Jtr)
+    if degeneracy_clamp > 0.0:
+        w, V = jnp.linalg.eigh(A)
+        keep = (w > degeneracy_clamp * w[..., -1:]).astype(x.dtype)
+        x = jnp.einsum(
+            "...ij,...j->...i",
+            V,
+            keep * jnp.einsum("...ij,...i->...j", V, x),
+        )
+    return x
 
 
 def reconstruct_symmetric_transform(

@@ -136,18 +136,26 @@ def estimate_increment(
             p_bar,
         )
         JtJ, Jtr = reduce((ne.JtJ, ne.Jtr))
-        x = solve_damped_6x6(JtJ, Jtr, config.damping)
+        x = solve_damped_6x6(
+            JtJ, Jtr, config.damping,
+            getattr(config, "degeneracy_clamp", 0.0),
+        )
         return reconstruct_about_point(x, p_bar)
 
     if config.objective == "symmetric":
         ne = build_normal_equations_symmetric(p, q, n_p, n_q, w, p_bar, q_bar)
         JtJ, Jtr = reduce((ne.JtJ, ne.Jtr))
-        x = solve_damped_6x6(JtJ, Jtr, config.damping)
+        x = solve_damped_6x6(
+            JtJ, Jtr, config.damping,
+            getattr(config, "degeneracy_clamp", 0.0),
+        )
         return reconstruct_symmetric_transform(x, p_bar, q_bar)
 
     ne = build_normal_equations_p2plane(p, q, n_q, w)
     JtJ, Jtr = reduce((ne.JtJ, ne.Jtr))
-    x = solve_damped_6x6(JtJ, Jtr, config.damping)
+    x = solve_damped_6x6(
+        JtJ, Jtr, config.damping, getattr(config, "degeneracy_clamp", 0.0)
+    )
     return reconstruct_p2plane_transform(x)
 
 

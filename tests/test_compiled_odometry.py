@@ -1,0 +1,55 @@
+"""Whole-sequence compiled odometry matches the host-driven frontend."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icpx.kernels.normals import estimate_normals
+from icpx.odometry.compiled import run_odometry_compiled
+from icpx.odometry.evaluate import ate_rmse
+from icpx.odometry.frontend import OdometryConfig, run_odometry
+from icpx.odometry.kitti import make_trajectory, make_world, simulate_scans
+from icpx.registration.icp import ICPConfig
+
+
+def test_compiled_matches_host_loop():
+    world = make_world(n_points=60000, extent=30.0, seed=0)
+    gt = make_trajectory(10, speed=0.6, turn=0.04)
+    frames = simulate_scans(
+        world, gt, max_range=18.0, points_per_scan=2048, noise=0.01, seed=1
+    )
+    frames = [estimate_normals(f, k=10) for f in frames]
+    icp_cfg = ICPConfig(
+        objective="symmetric",
+        max_iters=12,
+        diff_threshold=0.0,
+        rmse_change_tol=1e-6,
+        robust="huber",
+        max_corr_dist=2.0,
+    )
+    host = run_odometry(
+        frames,
+        OdometryConfig(icp=icp_cfg, keyframe_trans=1.0, keyframe_rot=0.2),
+    )
+    poses, is_kf, rmse = run_odometry_compiled(
+        jnp.stack([f.xyz for f in frames]),
+        jnp.stack([f.mask for f in frames]),
+        jnp.stack([f.normals for f in frames]),
+        icp_cfg,
+        keyframe_trans=1.0,
+        keyframe_rot=0.2,
+    )
+    gt_rel = [gt[0].inverse() @ g for g in gt]
+    ate_host = ate_rmse(host.poses, gt_rel, align=False)
+    ate_comp = ate_rmse(
+        [jax.tree_util.tree_map(lambda x: x[i], poses) for i in range(10)],
+        gt_rel,
+        align=False,
+    )
+    # sparse scans (~0.9 m spacing) drift: what matters is that the
+    # compiled program reproduces the host loop exactly
+    assert ate_comp < 0.35, f"compiled ATE {ate_comp}"
+    assert abs(ate_comp - ate_host) < 0.02, (ate_comp, ate_host)
+    # same keyframe pattern
+    assert list(np.asarray(is_kf)) == host.is_keyframe
+    assert np.isfinite(np.asarray(poses.t)).all()
