@@ -191,19 +191,56 @@ def cmd_odometry(args) -> int:
         )
         gt = load_kitti_poses(args.poses) if args.poses else None
 
+    icp_cfg = ICPConfig(
+        objective=args.objective,
+        max_iters=args.max_iters,
+        diff_threshold=0.0,
+        rmse_change_tol=1e-6,
+        robust="huber",
+        max_corr_dist=args.max_corr_dist,
+    )
     cfg = OdometryConfig(
-        icp=ICPConfig(
-            objective=args.objective,
-            max_iters=args.max_iters,
-            diff_threshold=0.0,
-            rmse_change_tol=1e-6,
-            robust="huber",
-            max_corr_dist=args.max_corr_dist,
-        ),
+        icp=icp_cfg,
         keyframe_trans=args.keyframe_trans,
         keyframe_rot=args.keyframe_rot,
     )
-    res = run_odometry(frames, cfg)
+    if args.compiled:
+        # whole-sequence single-program path (fast; scan-to-keyframe only)
+        import jax
+        import jax.numpy as jnp
+
+        from icpx.geometry.se3 import SE3
+        from icpx.kernels.normals import estimate_normals
+        from icpx.odometry.compiled import run_odometry_compiled
+        from icpx.odometry.frontend import OdometryResult
+
+        frames = [
+            f if f.normals is not None else estimate_normals(f, k=10)
+            for f in frames
+        ]
+        poses_b, is_kf_b, rmse_b = run_odometry_compiled(
+            jnp.stack([f.xyz for f in frames]),
+            jnp.stack([f.mask for f in frames]),
+            jnp.stack([f.normals for f in frames]),
+            icp_cfg,
+            keyframe_trans=args.keyframe_trans,
+            keyframe_rot=args.keyframe_rot,
+        )
+        import numpy as np
+
+        poses = [
+            SE3(R=poses_b.R[i], t=poses_b.t[i]) for i in range(len(frames))
+        ]
+        kf_list = [i for i in range(len(frames)) if bool(is_kf_b[i])]
+        res = OdometryResult(
+            poses=poses,
+            is_keyframe=[bool(v) for v in np.asarray(is_kf_b)],
+            rmse=[float(v) for v in np.asarray(rmse_b)],
+            edges=[],
+            keyframe_indices=kf_list,
+        )
+    else:
+        res = run_odometry(frames, cfg)
     print(f"{len(res.poses)} frames, {len(res.keyframe_indices)} keyframes, "
           f"{len(res.edges)} edges")
     if gt is not None:
@@ -377,6 +414,9 @@ def main(argv=None) -> int:
     p.add_argument("--keyframe-rot", type=float, default=0.2)
     p.add_argument("--loop-closure", action="store_true",
                    help="detect loop closures and optimize the pose graph")
+    p.add_argument("--compiled", action="store_true",
+                   help="run the whole sequence as one compiled program "
+                        "(fastest; scan-to-keyframe only, no edges)")
     p.add_argument("--metrics", default=None)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--render", default=None)
