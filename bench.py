@@ -222,9 +222,12 @@ def bench_odometry(args):
     from icpx.registration.icp import ICPConfig
 
     n_pts = args.n if args.n != 65536 else 8192  # default scan size
-    # gentle trajectory: this config measures throughput at a fixed good
-    # ATE; robustness to aggressive motion is exercised in tests/
-    world = make_world(n_points=200000, extent=50.0, seed=0)
+    # gentle trajectory + structured world: this config measures
+    # throughput at a fixed good ATE; robustness to aggressive motion and
+    # degenerate scenes is exercised in tests/ (see NOTES.md)
+    world = make_world(
+        n_points=300000, extent=50.0, seed=0, n_posts=300, ground_frac=0.5
+    )
     gt = make_trajectory(args.frames, speed=0.6, turn=0.02)
     frames = simulate_scans(
         world, gt, max_range=25.0, points_per_scan=n_pts, noise=0.01, seed=1
@@ -241,13 +244,16 @@ def bench_odometry(args):
         robust="huber",
         max_corr_dist=2.0,
     )
-    out = run_odometry_compiled(fx, fm, fn, cfg)
+    # velocity EMA on: this world's smooth ground has the slide mode the
+    # knob exists for (NOTES.md measurements)
+    kwargs = dict(velocity_damping=0.7)
+    out = run_odometry_compiled(fx, fm, fn, cfg, **kwargs)
     jax.block_until_ready(out)  # compile + warm
     times = []
     for rep in range(args.reps):
         t0 = time.perf_counter()
         out = run_odometry_compiled(
-            fx + jnp.float32((rep + 1) * 1e-6), fm, fn, cfg
+            fx + jnp.float32((rep + 1) * 1e-6), fm, fn, cfg, **kwargs
         )
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
