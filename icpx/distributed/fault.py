@@ -49,6 +49,7 @@ class HeartbeatMonitor:
         if out is not None:
             jax.block_until_ready(out)
         self._last = time.monotonic()
+        self.stalled = False  # a successful beat clears a past stall
         return out
 
     def stop(self):
@@ -57,12 +58,15 @@ class HeartbeatMonitor:
             self._thread.join(timeout=1.0)
 
     def _watch(self):
+        fired = False
         while not self._stop.wait(min(self.timeout_s / 4, 5.0)):
             if time.monotonic() - self._last > self.timeout_s:
                 self.stalled = True
-                if self.on_stall:
+                if self.on_stall and not fired:
                     self.on_stall()
-                return
+                    fired = True  # fire once per stall episode
+            elif fired and not self.stalled:
+                fired = False  # beats resumed: re-arm for the next stall
 
     def __enter__(self):
         return self.start()

@@ -223,7 +223,7 @@ def sharded_map_register(
     from jax.sharding import PartitionSpec as P
 
     from icpx.geometry.se3 import SE3
-    from icpx.registration.icp import _icp_scan
+    from icpx.registration.icp import _icp_scan, result_struct
 
     n_dev = mesh.shape[axis]
     if map_blocks.n_blocks != n_dev:
@@ -243,7 +243,7 @@ def sharded_map_register(
 
     out_specs = jax.tree_util.tree_map(
         lambda _: P(),
-        _result_struct(),
+        result_struct(),
     )
 
     @partial(
@@ -297,19 +297,4 @@ def sharded_map_register(
         map_blocks.inv_extent,
         init.R,
         init.t,
-    )
-
-
-def _result_struct():
-    from icpx.geometry.se3 import SE3
-    from icpx.registration.icp import ICPResult
-
-    return ICPResult(
-        transform=SE3(R=0, t=0),
-        iters=0,
-        converged=0,
-        diff_history=0,
-        rmse_history=0,
-        final_rmse=0,
-        inlier_count=0,
     )

@@ -60,7 +60,6 @@ def _env_int(name: str) -> Optional[int]:
 
 def global_mesh(
     axis_names: Sequence[str] = ("hosts", "points"),
-    per_host_axis: int = -1,
 ) -> Mesh:
     """A mesh spanning all processes' devices: first axis = hosts, the
     rest over each host's local devices."""

@@ -30,7 +30,7 @@ from icpx.cloud import PointCloud
 from icpx.geometry.se3 import SE3
 from icpx.kernels.knn import nearest_neighbor
 from icpx.kernels.normals import estimate_normals
-from icpx.registration.icp import ICPConfig, ICPResult, _icp_scan
+from icpx.registration.icp import ICPConfig, ICPResult, _icp_scan, result_struct
 from icpx.distributed.ring import ring_nearest_neighbor
 
 
@@ -95,7 +95,7 @@ def sharded_register(
             P(),  # init R  (replicated; SE3 leaves passed separately)
             P(),  # init t
         ),
-        out_specs=jax.tree_util.tree_map(lambda _: P(), _result_struct(config)),
+        out_specs=jax.tree_util.tree_map(lambda _: P(), result_struct()),
         check_vma=False,
     )
     def run(s_xyz, s_mask, s_n, t_xyz, t_mask, t_n, init_R, init_t):
@@ -173,7 +173,7 @@ def sharded_register_pairs(
     spec2 = P(pairs_axis, points_axis)
     repl3 = P(pairs_axis, None, None)
     repl2 = P(pairs_axis, None)
-    out_struct = _result_struct(config)
+    out_struct = result_struct()
     out_specs = jax.tree_util.tree_map(lambda _: P(pairs_axis), out_struct)
 
     @partial(
@@ -202,16 +202,3 @@ def sharded_register_pairs(
         return jax.vmap(one_pair)(s_xyz, s_mask, s_n, t_xyz, t_mask, t_n)
 
     return run(src_xyz, src_mask, src_normals, tgt_xyz, tgt_mask, tgt_normals)
-
-
-def _result_struct(config: ICPConfig) -> ICPResult:
-    """Shape-only pytree matching ICPResult for out_specs construction."""
-    return ICPResult(
-        transform=SE3(R=0, t=0),
-        iters=0,
-        converged=0,
-        diff_history=0,
-        rmse_history=0,
-        final_rmse=0,
-        inlier_count=0,
-    )

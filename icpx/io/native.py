@@ -69,6 +69,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
         ]
         lib.icpx_parse_float_columns.restype = ctypes.c_int64
         lib.icpx_parse_float_columns.argtypes = [
@@ -103,7 +104,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_char_p,
                 ctypes.c_int64,
             ]
-        if lib.icpx_io_abi_version() != 2:
+        if lib.icpx_io_abi_version() != 3:
             return None
         _lib = lib
         return _lib
@@ -123,7 +124,10 @@ def parse_float_table(
         len(text),
         n_rows * n_cols,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n_cols,
     )
+    # negative = malformed line; short = truncated: fall back to numpy,
+    # which surfaces a real error instead of silent misalignment
     if got != n_rows * n_cols:
         return None
     return out

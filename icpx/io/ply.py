@@ -76,7 +76,22 @@ def read_ply(path: Union[str, os.PathLike, bytes]) -> Dict[str, np.ndarray]:
         out: Dict[str, np.ndarray] = {}
         for name, count, props in elements:
             if name != "vertex":
-                break  # vertex is conventionally first; skip the rest
+                if "x" in out:
+                    break  # vertex already read; ignore trailing elements
+                # skip a non-vertex element that precedes vertex
+                if any(dt is None for _, dt in props):
+                    raise ValueError(
+                        "PLY: list-typed element precedes vertex "
+                        "(cannot compute skip size)"
+                    )
+                if fmt == "ascii":
+                    for _ in range(count):
+                        stream.readline()
+                else:
+                    stream.seek(
+                        np.dtype(props).itemsize * count, 1
+                    )
+                continue
             if any(dt is None for _, dt in props):
                 raise ValueError("PLY: list property in vertex element")
             dtype = np.dtype(props)

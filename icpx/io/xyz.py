@@ -13,10 +13,28 @@ from typing import Union
 import numpy as np
 
 
+def _is_number(tok: bytes) -> bool:
+    try:
+        float(tok)
+        return True
+    except ValueError:
+        return False
+
+
 def read_xyz_txt(path: Union[str, os.PathLike]) -> np.ndarray:
-    """Read whitespace/tab-separated xyz rows -> (N, 3) float32."""
+    """Read whitespace/tab-separated xyz rows -> (N, 3) float32.
+
+    Leading non-numeric lines (column headers) are skipped; malformed
+    data rows fall back to numpy, which raises a real error (the native
+    parser refuses rather than silently misaligning columns).
+    """
     raw = Path(path).read_bytes()
-    lines = [l for l in raw.splitlines() if l.strip() and not l.startswith(b"#")]
+    lines = [l for l in raw.splitlines() if l.strip() and not l.lstrip().startswith(b"#")]
+    # drop leading header lines (e.g. "x y z")
+    n_header = 0
+    while n_header < len(lines) and not _is_number(lines[n_header].split()[0]):
+        n_header += 1
+    lines = lines[n_header:]
     if not lines:
         return np.zeros((0, 3), np.float32)
     row_cols = len(lines[0].split())
@@ -24,10 +42,13 @@ def read_xyz_txt(path: Union[str, os.PathLike]) -> np.ndarray:
         raise ValueError(f"xyz txt needs >= 3 columns, got {row_cols}")
     from icpx.io import native
 
-    mat = native.parse_float_columns(raw, len(lines), row_cols, 0, 3)
+    body = b"\n".join(lines)
+    mat = native.parse_float_columns(body, len(lines), row_cols, 0, 3)
     if mat is not None:
         return mat
-    full = np.loadtxt(Path(path), dtype=np.float64, ndmin=2)
+    full = np.loadtxt(
+        Path(path), dtype=np.float64, ndmin=2, skiprows=n_header
+    )
     return full[:, :3].astype(np.float32)
 
 

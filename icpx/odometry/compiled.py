@@ -96,7 +96,9 @@ def run_odometry_compiled(
         corr_t = jnp.linalg.norm(corr.t)
         corr_r = corr.rotation_angle()
         finite = jnp.isfinite(corr_t) & jnp.all(jnp.isfinite(rel.t))
-        gate_on = model_warm & (rejects < 2)
+        gate_on = (
+            (max_correction_trans > 0) & model_warm & (rejects < 2)
+        )
         rejected = (~finite) | (
             gate_on
             & (

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from icpx.geometry.se3 import SE3
-from icpx.registration.horn import umeyama_align
+from icpx.registration.horn import horn_align
 
 
 def _stack(poses: Sequence[SE3]) -> SE3:
@@ -28,11 +28,13 @@ def ate_rmse(
     est: Sequence[SE3], gt: Sequence[SE3], *, align: bool = True
 ) -> float:
     """Absolute trajectory error: RMSE of position residuals after an
-    optional SE(3) (Umeyama, scale fixed to 1) alignment."""
+    optional rigid SE(3) alignment."""
     est_s, gt_s = _stack(est), _stack(gt)
     p, q = est_s.t, gt_s.t
     if align:
-        T = umeyama_align(p, q)[0]
+        # rigid (SE(3)) alignment — a similarity fit would leave a
+        # centroid-dependent residual when its scale is discarded
+        T = horn_align(p, q)
         p = T.apply(p)
     err = np.asarray(jnp.linalg.norm(p - q, axis=-1))
     return float(np.sqrt((err**2).mean()))

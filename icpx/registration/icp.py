@@ -87,6 +87,19 @@ class ICPConfig:
         )
 
 
+def result_struct() -> "ICPResult":
+    """Shape-only ICPResult skeleton (for shard_map out_specs trees)."""
+    return ICPResult(
+        transform=SE3(R=0, t=0),
+        iters=0,
+        converged=0,
+        diff_history=0,
+        rmse_history=0,
+        final_rmse=0,
+        inlier_count=0,
+    )
+
+
 @struct.dataclass
 class ICPResult:
     transform: SE3  # accumulated src -> tgt

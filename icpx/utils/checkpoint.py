@@ -41,12 +41,19 @@ def load_checkpoint(path, like) -> Any:
     """Load a checkpoint saved by `save_checkpoint` into the structure of
     `like` (an example pytree with the same treedef)."""
     with np.load(Path(path), allow_pickle=False) as z:
-        n = json.loads(str(z["__manifest__"]))["n_leaves"]
+        manifest = json.loads(str(z["__manifest__"]))
+        n = manifest["n_leaves"]
         leaves = [z[f"leaf_{i}"] for i in range(n)]
     treedef = jax.tree_util.tree_structure(like)
     if treedef.num_leaves != n:
         raise ValueError(
             f"checkpoint has {n} leaves, template has {treedef.num_leaves}"
+        )
+    saved_def = manifest.get("treedef")
+    if saved_def is not None and saved_def != str(treedef):
+        raise ValueError(
+            "checkpoint tree structure does not match the template:\n"
+            f"  saved:    {saved_def}\n  template: {treedef}"
         )
     return jax.tree_util.tree_unflatten(treedef, leaves)
 

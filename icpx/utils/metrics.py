@@ -53,10 +53,19 @@ class MetricsLogger:
 
 def _jsonable(v: Any) -> Any:
     if isinstance(v, (np.floating, np.integer)):
-        return v.item()
-    if hasattr(v, "tolist"):
+        v = v.item()
+    elif hasattr(v, "tolist"):
         arr = np.asarray(v)
-        return arr.item() if arr.ndim == 0 else arr.tolist()
+        v = arr.item() if arr.ndim == 0 else arr.tolist()
+    # strict-JSON safety: json.dumps would emit the bare token `Infinity`
+    # for nonfinite floats, which non-Python consumers reject
+    if isinstance(v, float) and not np.isfinite(v):
+        return None
+    if isinstance(v, list):
+        return [
+            None if isinstance(x, float) and not np.isfinite(x) else x
+            for x in v
+        ]
     return v
 
 

@@ -17,51 +17,13 @@
 
 extern "C" {
 
-// Parse up to n_rows * n_cols whitespace-separated floats from text.
-// Tolerates any mix of spaces/tabs/newlines/CR; "nan"/"inf" parse via
-// strtof. Returns the number of VALUES parsed (== n_rows*n_cols on
-// success; fewer means truncated input).
-int64_t icpx_parse_float_table(
-    const char* text,
-    int64_t length,
-    int64_t n_values,
-    float* out) {
-  const char* p = text;
-  const char* end = text + length;
-  int64_t count = 0;
-  while (count < n_values) {
-    // skip separators (also handles '#' comment lines defensively)
-    while (p < end) {
-      char c = *p;
-      if (c == '#') {
-        while (p < end && *p != '\n') ++p;
-      } else if (c == ' ' || c == '\t' || c == '\n' || c == '\r' ||
-                 c == ',') {
-        ++p;
-      } else {
-        break;
-      }
-    }
-    if (p >= end) break;
-    char* next = nullptr;
-    float v = strtof(p, &next);
-    if (next == p) {
-      // unparsable token: skip it (PCL writes e.g. bare labels)
-      while (p < end && *p != ' ' && *p != '\t' && *p != '\n' &&
-             *p != '\r')
-        ++p;
-      continue;
-    }
-    out[count++] = v;
-    p = next;
-  }
-  return count;
-}
-
-// Parse a fixed-stride subset of columns: rows of `row_cols` values where
-// only columns [col0, col0+n_take) are stored. Used for pulling xyz out
-// of multi-field PCD rows without materializing the full table.
-int64_t icpx_parse_float_columns(
+// Line-aware table parsing shared core: each non-blank, non-'#' line
+// must contain exactly `row_cols` whitespace-separated float tokens
+// ("nan"/"inf" ok via strtof). Stores columns [col0, col0+n_take) of each
+// row. Returns rows parsed, or -(line_index+1) on a malformed line so
+// Python can fall back to numpy with a real error instead of silently
+// mis-aligned data (a skipped token would shift every later coordinate).
+static int64_t parse_lines(
     const char* text,
     int64_t length,
     int64_t n_rows,
@@ -72,36 +34,62 @@ int64_t icpx_parse_float_columns(
   const char* p = text;
   const char* end = text + length;
   int64_t row = 0;
-  for (; row < n_rows && p < end; ++row) {
-    for (int64_t c = 0; c < row_cols; ++c) {
-      while (p < end) {
-        char ch = *p;
-        if (ch == '#') {
-          while (p < end && *p != '\n') ++p;
-        } else if (ch == ' ' || ch == '\t' || ch == '\n' || ch == '\r' ||
-                   ch == ',') {
-          ++p;
-        } else {
-          break;
-        }
-      }
-      if (p >= end) return row;
+  while (row < n_rows && p < end) {
+    // bounds of this line
+    const char* eol = p;
+    while (eol < end && *eol != '\n') ++eol;
+    // skip blank / comment lines
+    const char* q = p;
+    while (q < eol && (*q == ' ' || *q == '\t' || *q == '\r')) ++q;
+    if (q == eol || *q == '#') {
+      p = eol + 1;
+      continue;
+    }
+    int64_t c = 0;
+    while (q < eol) {
+      while (q < eol && (*q == ' ' || *q == '\t' || *q == '\r')) ++q;
+      if (q >= eol) break;
       char* next = nullptr;
-      float v = strtof(p, &next);
-      if (next == p) {
-        while (p < end && *p != ' ' && *p != '\t' && *p != '\n' &&
-               *p != '\r')
-          ++p;
-        v = 0.0f;
-      } else {
-        p = next;
-      }
+      float v = strtof(q, &next);
+      if (next == q || next > eol) return -(row + 1);  // bad token
+      if (c >= row_cols) return -(row + 1);  // too many columns
       if (c >= col0 && c < col0 + n_take) {
         out[row * n_take + (c - col0)] = v;
       }
+      ++c;
+      q = next;
     }
+    if (c != row_cols) return -(row + 1);  // too few columns
+    ++row;
+    p = eol + 1;
   }
   return row;
+}
+
+// Parse n_values = n_rows*n_cols floats (all columns kept). n_cols is
+// inferred by the caller; rows are validated line-by-line.
+int64_t icpx_parse_float_table(
+    const char* text,
+    int64_t length,
+    int64_t n_values,
+    float* out,
+    int64_t n_cols) {
+  if (n_cols <= 0) return -1;
+  int64_t n_rows = n_values / n_cols;
+  int64_t got = parse_lines(text, length, n_rows, n_cols, 0, n_cols, out);
+  return got < 0 ? got : got * n_cols;
+}
+
+// Column-subset variant (e.g. xyz out of multi-field rows).
+int64_t icpx_parse_float_columns(
+    const char* text,
+    int64_t length,
+    int64_t n_rows,
+    int64_t row_cols,
+    int64_t col0,
+    int64_t n_take,
+    float* out) {
+  return parse_lines(text, length, n_rows, row_cols, col0, n_take, out);
 }
 
 // Format an (n_rows, n_cols) float table as ASCII rows into out_buf
@@ -258,6 +246,6 @@ int64_t icpx_lzf_decompress(
   return (int64_t)(op - (unsigned char*)out);
 }
 
-int icpx_io_abi_version(void) { return 2; }
+int icpx_io_abi_version(void) { return 3; }
 
 }  // extern "C"

@@ -250,3 +250,99 @@ def test_block_nn_chunking_non_divisible():
         np.asarray(d_c)[valid], np.asarray(d_f)[valid], atol=1e-6
     )
     assert np.array_equal(np.asarray(i_c)[valid], np.asarray(i_f)[valid])
+
+
+def test_xyz_header_line_skipped(tmp_path):
+    from icpx.io.xyz import read_xyz_txt
+
+    p = tmp_path / "h.txt"
+    p.write_text("x y z\n# comment\n1.0 2.0 3.0\n4.0 5.0 6.0\n")
+    out = read_xyz_txt(p)
+    assert out.shape == (2, 3)
+    assert np.allclose(out[0], [1.0, 2.0, 3.0])
+
+
+def test_xyz_ragged_row_raises(tmp_path):
+    from icpx.io.xyz import read_xyz_txt
+
+    p = tmp_path / "r.txt"
+    p.write_text("1 2 3\n4 5\n6 7 8\n")
+    with pytest.raises(Exception):
+        read_xyz_txt(p)  # numpy fallback raises; never silent misalignment
+
+
+def test_metrics_nonfinite_is_valid_json(tmp_path):
+    import json as _json
+
+    from icpx.utils.metrics import MetricsLogger
+
+    path = tmp_path / "m.jsonl"
+    with MetricsLogger(path) as m:
+        m.log(rmse=float("inf"), arr=[1.0, float("nan")])
+    rec = _json.loads(path.read_text(), parse_constant=lambda c: 1 / 0)
+    assert rec["rmse"] is None and rec["arr"][1] is None
+
+
+def test_ply_leading_nonvertex_element(tmp_path, rng):
+    from icpx.io.ply import read_ply
+
+    xyz = rng.normal(size=(4, 3)).astype(np.float32)
+    body = "".join(" ".join(f"{v:.5f}" for v in row) + "\n" for row in xyz)
+    p = tmp_path / "e.ply"
+    p.write_text(
+        "ply\nformat ascii 1.0\n"
+        "element meta 2\nproperty float value\n"
+        "element vertex 4\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "end_header\n"
+        "7.0\n8.0\n" + body
+    )
+    rec = read_ply(p)
+    assert np.allclose(rec["xyz"], xyz, atol=1e-4)
+
+
+def test_checkpoint_structure_mismatch_raises(tmp_path, key):
+    import jax.numpy as jnp
+
+    from icpx.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    state = {"a": jnp.ones(3), "b": jnp.zeros(3)}
+    p = tmp_path / "s.npz"
+    save_checkpoint(p, state)
+    wrong = (jnp.ones(3), jnp.zeros(3))  # same leaf count, different tree
+    with pytest.raises(ValueError):
+        load_checkpoint(p, wrong)
+
+
+def test_heartbeat_recovers_and_rearms():
+    import time as _t
+
+    from icpx.distributed.fault import HeartbeatMonitor
+
+    hits = []
+    mon = HeartbeatMonitor(timeout_s=0.25, on_stall=lambda: hits.append(1))
+    with mon:
+        _t.sleep(0.6)          # first stall
+        assert mon.stalled
+        mon.beat()             # recovery clears the flag
+        assert not mon.stalled
+        _t.sleep(0.6)          # second stall must fire again
+    assert mon.stalled and len(hits) >= 2
+
+
+def test_ate_ignores_scale_correctly(key):
+    """ATE alignment is rigid: a scaled trajectory shows real error, a
+    rigidly-moved one shows none."""
+    import jax
+
+    from icpx.odometry.evaluate import ate_rmse
+
+    import jax.numpy as jnp
+
+    gt = [SE3.identity().replace(t=jnp.asarray([float(i), 0.0, 0.0]))
+          for i in range(6)]
+    off = SE3.random(key)
+    moved = [off @ p for p in gt]
+    assert ate_rmse(moved, gt) < 1e-4
+    scaled = [p.replace(t=p.t * 0.9) for p in gt]
+    assert ate_rmse(scaled, gt) > 0.05
