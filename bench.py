@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--odometry", action="store_true",
                     help="scan-to-scan odometry throughput (synthetic LiDAR)")
     ap.add_argument("--frames", type=int, default=20)
+    ap.add_argument("--scan-points", type=int, default=8192,
+                    help="points per scan for --odometry")
     ap.add_argument("--profile", default=None,
                     help="jax.profiler trace directory")
     args = ap.parse_args()
@@ -121,7 +123,9 @@ def main():
     rot_err, t_err = est.distance_to(gt)
     quality_ok = bool(float(rot_err) < 5e-3 and float(t_err) < 5e-3)
 
-    pts_per_sec = n / wall
+    # ENFORCED quality gate: a run that fails to recover the ground truth
+    # reports zero throughput — early exits cannot inflate the metric.
+    pts_per_sec = n / wall if quality_ok else 0.0
     print(
         json.dumps(
             {
@@ -221,7 +225,7 @@ def bench_odometry(args):
     from icpx.odometry.kitti import make_trajectory, make_world, simulate_scans
     from icpx.registration.icp import ICPConfig
 
-    n_pts = args.n if args.n != 65536 else 8192  # default scan size
+    n_pts = args.scan_points
     # gentle trajectory + structured world: this config measures
     # throughput at a fixed good ATE; robustness to aggressive motion and
     # degenerate scenes is exercised in tests/ (see NOTES.md)

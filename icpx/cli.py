@@ -96,15 +96,18 @@ def cmd_register(args) -> int:
                 rmse=float(res.final_rmse),
                 inliers=int(res.inlier_count),
             )
+    aligned = None
+    if args.out or args.render:
+        aligned = transform_cloud(src, res.transform)
     if args.out:
-        save_cloud(args.out, transform_cloud(src, res.transform))
+        save_cloud(args.out, aligned)
         print(f"aligned cloud -> {args.out}")
     if args.render:
         from icpx.viz import render_clouds
 
         render_clouds(
             args.render,
-            [transform_cloud(src, res.transform), tgt],
+            [aligned, tgt],
             ["aligned src", "tgt"],
             title=f"rmse={float(res.final_rmse):.4g}",
         )
@@ -120,7 +123,11 @@ def cmd_horn(args) -> int:
 
     src = load_cloud(args.src)
     tgt = load_cloud(args.tgt)
-    est = horn_align(src.xyz, tgt.xyz, weights=src.mask.astype("float32"))
+    cap = max(src.capacity, tgt.capacity)
+    src, tgt = src.pad_to(cap), tgt.pad_to(cap)
+    # only rows valid in BOTH clouds are index-aligned correspondences
+    w = (src.mask & tgt.mask).astype("float32")
+    est = horn_align(src.xyz, tgt.xyz, weights=w)
     print("R:")
     for row in jax.device_get(est.R):
         print("  " + " ".join(f"{v: .6f}" for v in row))
@@ -231,12 +238,19 @@ def cmd_odometry(args) -> int:
         poses = [
             SE3(R=poses_b.R[i], t=poses_b.t[i]) for i in range(len(frames))
         ]
-        kf_list = [i for i in range(len(frames)) if bool(is_kf_b[i])]
+        is_kf_np = np.asarray(is_kf_b)
+        kf_list = [i for i in range(len(frames)) if is_kf_np[i]]
+        # synthesize consecutive-keyframe odometry edges from the poses so
+        # downstream pose-graph optimization has the odometry chain
+        edges = [
+            (a, b, poses[a].inverse() @ poses[b])
+            for a, b in zip(kf_list[:-1], kf_list[1:])
+        ]
         res = OdometryResult(
             poses=poses,
-            is_keyframe=[bool(v) for v in np.asarray(is_kf_b)],
+            is_keyframe=[bool(v) for v in is_kf_np],
             rmse=[float(v) for v in np.asarray(rmse_b)],
-            edges=[],
+            edges=edges,
             keyframe_indices=kf_list,
         )
     else:
@@ -333,10 +347,23 @@ def cmd_info(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    import bench as bench_mod  # repo-root harness
+    # the harness lives at the repo root next to the package (editable
+    # install); import it by path so `icpx bench` works from any cwd
+    import importlib.util
 
-    sys.argv = ["bench.py"] + (args.bench_args or [])
-    bench_mod.main()
+    bench_path = Path(__file__).resolve().parents[1] / "bench.py"
+    if not bench_path.exists():
+        raise FileNotFoundError(f"bench harness not found at {bench_path}")
+    spec = importlib.util.spec_from_file_location("icpx_bench", bench_path)
+    bench_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench_mod)
+
+    saved = sys.argv
+    try:
+        sys.argv = ["bench.py"] + (args.bench_args or [])
+        bench_mod.main()
+    finally:
+        sys.argv = saved
     return 0
 
 
@@ -360,7 +387,6 @@ def _enable_compile_cache() -> None:
 
 
 def main(argv=None) -> int:
-    _enable_compile_cache()
     ap = argparse.ArgumentParser(
         prog="icpx",
         description="TPU-native point-cloud registration & odometry engine",
@@ -407,7 +433,8 @@ def main(argv=None) -> int:
     p.add_argument("--points-per-scan", type=int, default=8192)
     p.add_argument("--subsample", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--objective", default="symmetric")
+    p.add_argument("--objective", default="symmetric",
+                   choices=["symmetric", "p2plane", "p2p", "gicp"])
     p.add_argument("--max-iters", type=int, default=12)
     p.add_argument("--max-corr-dist", type=float, default=2.0)
     p.add_argument("--keyframe-trans", type=float, default=1.0)
@@ -426,13 +453,23 @@ def main(argv=None) -> int:
     p.add_argument("input")
     p.set_defaults(fn=cmd_info)
 
-    p = sub.add_parser("bench", help="run the benchmark harness")
-    p.add_argument("bench_args", nargs="*")
+    p = sub.add_parser("bench", help="run the benchmark harness; flags "
+                       "after 'bench' pass through (e.g. icpx bench --n 1000)")
+    p.add_argument("bench_args", nargs=argparse.REMAINDER)
     p.set_defaults(fn=cmd_bench)
+
+    # 'bench' forwards everything verbatim (argparse.REMAINDER does not
+    # capture flags that directly follow a subcommand)
+    raw = list(sys.argv[1:] if argv is None else argv)
+    if raw and raw[0] == "bench":
+        _enable_compile_cache()
+        ns = argparse.Namespace(bench_args=raw[1:])
+        return cmd_bench(ns)
 
     args = ap.parse_args(argv)
     if args.command == "odometry" and not args.synthetic and not args.velodyne_dir:
         ap.error("odometry needs --velodyne-dir or --synthetic")
+    _enable_compile_cache()  # after parsing: --help stays jax-free
     return args.fn(args)
 
 

@@ -126,7 +126,13 @@ class PointCloud:
             normals = jnp.concatenate(
                 [self.normals, jnp.zeros((extra, 3), jnp.float32)], axis=0
             )
-        return PointCloud(xyz=xyz, mask=mask, normals=normals)
+        covs = None
+        if self.covs is not None:
+            eye = jnp.broadcast_to(
+                jnp.eye(3, dtype=jnp.float32), (extra, 3, 3)
+            )
+            covs = jnp.concatenate([self.covs, eye], axis=0)
+        return PointCloud(xyz=xyz, mask=mask, normals=normals, covs=covs)
 
     def centroid(self) -> jax.Array:
         """Masked mean of valid points, (3,)."""
@@ -139,7 +145,8 @@ class PointCloud:
         big = jnp.float32(PAD_COORD)
         lo = jnp.min(jnp.where(self.mask[:, None], self.xyz, big), axis=0)
         hi = jnp.max(jnp.where(self.mask[:, None], self.xyz, -big), axis=0)
-        return jnp.linalg.norm(hi - lo)
+        any_valid = jnp.any(self.mask)
+        return jnp.where(any_valid, jnp.linalg.norm(hi - lo), 0.0)
 
     # ---- host-side helpers -------------------------------------------------
 
@@ -159,6 +166,8 @@ def concat(a: PointCloud, b: PointCloud) -> PointCloud:
     """Concatenate two clouds (capacity adds; masks preserved)."""
     if (a.normals is None) != (b.normals is None):
         raise ValueError("both clouds must agree on having normals")
+    if (a.covs is None) != (b.covs is None):
+        raise ValueError("both clouds must agree on having covariances")
     return PointCloud(
         xyz=jnp.concatenate([a.xyz, b.xyz], axis=0),
         mask=jnp.concatenate([a.mask, b.mask], axis=0),
@@ -166,5 +175,10 @@ def concat(a: PointCloud, b: PointCloud) -> PointCloud:
             None
             if a.normals is None
             else jnp.concatenate([a.normals, b.normals], axis=0)
+        ),
+        covs=(
+            None
+            if a.covs is None
+            else jnp.concatenate([a.covs, b.covs], axis=0)
         ),
     )
