@@ -269,7 +269,11 @@ def bench_odometry(args):
         for i in range(len(frames))
     ]
     ate = ate_rmse(plist, gt_rel, align=False)
-    pts_per_sec = len(frames) * n_pts / wall
+    # ENFORCED quality gate (mirrors the flagship config): a diverged run
+    # reports zero throughput rather than full speed with a bad trajectory.
+    ATE_BOUND_M = 0.5
+    quality_ok = bool(ate < ATE_BOUND_M)
+    pts_per_sec = len(frames) * n_pts / wall if quality_ok else 0.0
     print(
         json.dumps(
             {

@@ -66,7 +66,25 @@ def save_cloud(path, cloud: PointCloud, *, binary: bool = False) -> None:
 
 # ---- reference fixtures ------------------------------------------------------
 
-REFERENCE_DATA_DIR = Path(os.environ.get("ICPX_DATA_DIR", "/root/reference/ICP"))
+_VENDORED_DATA_DIR = Path(__file__).resolve().parent.parent.parent / "tests" / "data"
+
+
+def _resolve_data_dir() -> Path:
+    """Fixture search order: $ICPX_DATA_DIR > vendored tests/data > reference.
+
+    The demo fixtures (cat.pcd / cat_out.pcd / txt2pcd_bunny1.pcd / za.txt,
+    reference C9: /root/reference/ICP) are vendored into tests/data so the
+    golden tests run on a bare checkout.
+    """
+    env = os.environ.get("ICPX_DATA_DIR")
+    if env:
+        return Path(env)
+    if (_VENDORED_DATA_DIR / "cat.pcd").exists():
+        return _VENDORED_DATA_DIR
+    return Path("/root/reference/ICP")
+
+
+REFERENCE_DATA_DIR = _resolve_data_dir()
 
 
 def has_reference_data() -> bool:

@@ -27,9 +27,16 @@ _tried = False
 def _build() -> Optional[Path]:
     src = _NATIVE_DIR / "icpx_io.cpp"
     out = _NATIVE_DIR / _LIB_NAME
+    hash_file = _NATIVE_DIR / (_LIB_NAME + ".srchash")
     if not src.exists():
         return None
-    if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
+    # staleness = source-content hash mismatch (mtimes are not preserved by
+    # git checkouts, so a stale prebuilt .so could otherwise shadow newer
+    # source)
+    import hashlib
+
+    src_hash = hashlib.sha256(src.read_bytes()).hexdigest()
+    if out.exists() and hash_file.exists() and hash_file.read_text().strip() == src_hash:
         return out
     try:
         subprocess.run(
@@ -39,6 +46,7 @@ def _build() -> Optional[Path]:
             capture_output=True,
             timeout=120,
         )
+        hash_file.write_text(src_hash)
         return out
     except (OSError, subprocess.SubprocessError):
         return out if out.exists() else None

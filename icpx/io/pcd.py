@@ -142,9 +142,18 @@ def read_pcd(path_or_bytes: Union[str, os.PathLike, bytes]) -> Dict[str, np.ndar
                     flat_names.append((name, c))
             # Hot path: native C++ float-table parser (data-loader tier,
             # see native/icpx_io.cpp); numpy fallback handles exotic rows.
+            # Wide integer fields (packed rgb, large labels) exceed float32's
+            # 2^24 integer range — route those files through the float64
+            # fallback, exact to 2^53.
             from icpx.io import native
 
-            mat = native.parse_float_table(body, n, len(flat_names))
+            wide_int = any(
+                t in ("I", "U") and s >= 4
+                for t, s in zip(hdr.type, hdr.size)
+            )
+            mat = None if wide_int else native.parse_float_table(
+                body, n, len(flat_names)
+            )
             if mat is None:
                 text = body.decode("ascii", errors="replace")
                 mat = np.genfromtxt(
@@ -170,9 +179,17 @@ def read_pcd(path_or_bytes: Union[str, os.PathLike, bytes]) -> Dict[str, np.ndar
                     rec[name] = mat[:, col : col + cnt].astype(rec[name].dtype)
                     col += cnt
         elif hdr.data == "binary":
-            buf = stream.read(dtype.itemsize * n)
-            if len(buf) < dtype.itemsize * n:
+            buf = stream.read()
+            need = dtype.itemsize * n
+            if len(buf) < need:
                 raise ValueError("PCD: binary payload truncated")
+            if len(buf) >= need + dtype.itemsize:
+                # header POINTS smaller than the payload: refusing guards
+                # against silently dropping data on a miswritten header
+                raise ValueError(
+                    f"PCD: header declares {n} points but payload holds "
+                    f"{len(buf) // dtype.itemsize}"
+                )
             rec = np.frombuffer(buf, dtype=dtype, count=n).copy()
         elif hdr.data == "binary_compressed":
             rec = _read_binary_compressed(stream, dtype, n)

@@ -46,9 +46,12 @@ def read_xyz_txt(path: Union[str, os.PathLike]) -> np.ndarray:
     mat = native.parse_float_columns(body, len(lines), row_cols, 0, 3)
     if mat is not None:
         return mat
-    full = np.loadtxt(
-        Path(path), dtype=np.float64, ndmin=2, skiprows=n_header
-    )
+    # parse the already-filtered buffer (blank/comment lines removed above) —
+    # re-reading the file with skiprows would mis-skip when comments precede
+    # the header
+    import io
+
+    full = np.loadtxt(io.BytesIO(body), dtype=np.float64, ndmin=2)
     return full[:, :3].astype(np.float32)
 
 

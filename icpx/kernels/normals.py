@@ -88,19 +88,27 @@ def _block_radius_cov(xyz, mask, k):
 
     Returns (count (N,), cov (N, 3, 3)).
     """
-    from icpx.kernels.blocknn import block_radius_moments, build_tile_index
+    from icpx.kernels.blocknn import block_radius_moments, build_kd_index
+    from icpx.kernels.blocknn_pallas import use_fused_default
     from icpx.kernels.voxel import auto_cell_size
 
     n = xyz.shape[0]
-    # Self-queries tolerate big query tiles (a tile is always its own
-    # best candidate): Sq=256/K=6 measured BETTER radius coverage than
-    # Sq=64/K=8 with 25% fewer candidate distances.
-    idx = build_tile_index(xyz, mask, tile_size=256)
+    # KD-split self-query tiles: the index tiles double as query tiles (a
+    # tile is always its own best candidate), and compact boxes keep the
+    # candidate set tight (see build_kd_index).
+    idx = build_kd_index(xyz, mask, tile_size=128)
     scale = 3.0 * float(np.sqrt(max(k, 1) / 10.0))
     radius = auto_cell_size(xyz, mask, scale=scale)
-    cnt_s, _, cov_s = block_radius_moments(
-        idx.tiles, idx, radius, k_tiles=6
-    )
+    if use_fused_default() and idx.n_tiles % 4 == 0:
+        from icpx.kernels.blocknn_pallas import block_radius_moments_fused
+
+        cnt_s, _, cov_s = block_radius_moments_fused(
+            idx.tiles, idx, radius, k_tiles=8, group=4, u_max=32
+        )
+    else:
+        cnt_s, _, cov_s = block_radius_moments(
+            idx.tiles, idx, radius, k_tiles=8
+        )
     # unsort: sorted position -> original row (pads dropped)
     order = idx.order
     safe = jnp.where(order >= 0, order, n)

@@ -63,13 +63,24 @@ class ICPConfig:
     # otherwise WANDERS along it, chasing its init + IRLS bias. 0 = off.
     degeneracy_clamp: float = 0.0
     # NN search: "brute" = tiled O(N^2) (Pallas-fused on TPU), "block" =
-    # Morton-tiled IVF-style O(N*K*S) (the large-cloud path), "auto" picks
-    # block above `block_auto_threshold` target points.
+    # spatially-tiled IVF-style O(N*K*S) (the large-cloud path), "auto"
+    # picks block above `block_auto_threshold` target points.
     nn_method: str = "auto"
-    block_tile: int = 256  # reference tile size S
-    block_q_tile: int = 64  # query tile size Sq (smaller = tighter boxes)
-    block_k: int = 8
+    block_tile: int = 128  # reference tile size S
+    block_q_tile: int = 32  # query tile size Sq (smaller = tighter boxes)
+    block_k: int = 12
     block_auto_threshold: int = 32768
+    # Tile partitioner: "kd" (median-cut, compact boxes — measured 0.01%
+    # NN miss at the defaults vs ~5% for Morton ranges on uniform volumes)
+    # or "morton" (cheaper build).
+    tile_index: str = "kd"
+    # Fused Pallas fold (TPU): "auto" = on when the default backend is not
+    # CPU, "on"/"off" force. The fused kernel groups `block_group` query
+    # tiles per program over a deduplicated candidate union of up to
+    # `block_u_max` ref tiles (see kernels/blocknn_pallas.py take 3).
+    block_fused: str = "auto"
+    block_group: int = 4
+    block_u_max: int = 32
     tile_q: int = 2048
     tile_r: int = 4096
 
@@ -78,6 +89,22 @@ class ICPConfig:
             raise ValueError(f"objective must be one of {OBJECTIVES}")
         if self.nn_method not in ("auto", "brute", "block"):
             raise ValueError("nn_method must be auto|brute|block")
+        if self.tile_index not in ("kd", "morton"):
+            raise ValueError("tile_index must be kd|morton")
+        if self.block_fused not in ("auto", "on", "off"):
+            raise ValueError("block_fused must be auto|on|off")
+
+    def tile_builder(self):
+        from icpx.kernels.blocknn import build_kd_index, build_tile_index
+
+        return build_kd_index if self.tile_index == "kd" else build_tile_index
+
+    def resolve_fused(self) -> bool:
+        if self.block_fused != "auto":
+            return self.block_fused == "on"
+        from icpx.kernels.blocknn_pallas import use_fused_default
+
+        return use_fused_default()
 
     def resolve_nn(self, tgt_capacity: int) -> str:
         if self.nn_method != "auto":
@@ -292,11 +319,12 @@ def _register_jit(
     method = config.resolve_nn(tgt.capacity)
     if method == "block":
         from icpx.cloud import PAD_COORD
-        from icpx.kernels.blocknn import block_nn, build_tile_index
+        from icpx.kernels.blocknn import block_nn
 
-        # Morton-sort the source once (rigid motion preserves coherence;
+        # Sort the source spatially once (rigid motion preserves coherence;
         # point order is irrelevant to the solve). Sentinel-fill invalid.
-        src_order_idx = build_tile_index(
+        builder = config.tile_builder()
+        src_order_idx = builder(
             src.xyz, src.mask, tile_size=config.block_q_tile
         )
         order = src_order_idx.order
@@ -305,20 +333,32 @@ def _register_jit(
         src_xyz = jnp.where(valid[:, None], src.xyz[safe], PAD_COORD)
         src_n_s = jnp.where(valid[:, None], src_n[safe], 0.0)
         src_mask = valid & src.mask[safe]
-        tgt_index = build_tile_index(
+        tgt_index = builder(
             tgt.xyz, tgt.mask, tile_size=config.block_tile
         )
         tq = src_xyz.shape[0] // config.block_q_tile
+        fused = config.resolve_fused()
+        group = config.block_group if tq % config.block_group == 0 else 1
 
         def nn_fn(p):
             # indices + two (N,3) row gathers beat in-fold payload
             # selection by ~4x at 1M points (measured) — XLA's whole-row
             # gather is cheap; per-tile take_along_axis is not.
-            d2, idx = block_nn(
-                p.reshape(tq, config.block_q_tile, 3),
-                tgt_index,
-                k_tiles=config.block_k,
-            )
+            ptiles = p.reshape(tq, config.block_q_tile, 3)
+            if fused:
+                from icpx.kernels.blocknn_pallas import block_nn_fused3
+
+                d2, idx = block_nn_fused3(
+                    ptiles,
+                    tgt_index,
+                    k_tiles=config.block_k,
+                    group=group,
+                    u_max=config.block_u_max,
+                )
+            else:
+                d2, idx = block_nn(
+                    ptiles, tgt_index, k_tiles=config.block_k
+                )
             return tgt.xyz[idx], tgt_n[idx], jnp.sqrt(d2)
 
         return _icp_scan(
@@ -357,16 +397,28 @@ def register_batch(
     keeps the MXU/VPU fed when individual pairs are small (odometry-scale
     scans). Brute-force NN per pair; normals must be precomputed. For
     multi-device DP use `distributed.sharded_register_pairs`.
+
+    Like `register`, each pair is solved in target-centroid coordinates
+    (fp32 squared-distance expansions lose precision at large coordinate
+    magnitudes) and the shift is composed back into the returned transform.
     """
 
     def one(sx, sm, sn, tx, tm, tn):
+        denom = jnp.maximum(tm.sum(), 1).astype(jnp.float32)
+        center = jnp.where(tm[:, None], tx, 0.0).sum(0) / denom
+        sx = jnp.where(sm[:, None], sx - center[None, :], sx)
+        tx = jnp.where(tm[:, None], tx - center[None, :], tx)
+
         def nn_fn(p):
             d2, idx = nearest_neighbor(
                 p, tx, ref_mask=tm, tile_q=config.tile_q, tile_r=config.tile_r
             )
             return tx[idx], tn[idx], jnp.sqrt(d2)
 
-        return _icp_scan(config, sx, sm, sn, SE3.identity(), nn_fn)
+        res = _icp_scan(config, sx, sm, sn, SE3.identity(), nn_fn)
+        shift = SE3.identity().replace(t=-center)
+        unshift = SE3.identity().replace(t=center)
+        return res.replace(transform=unshift @ res.transform @ shift)
 
     return jax.vmap(one)(
         src_xyz, src_mask, src_normals, tgt_xyz, tgt_mask, tgt_normals

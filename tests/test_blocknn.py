@@ -105,3 +105,108 @@ def test_morton_locality():
     step = np.linalg.norm(np.diff(s, axis=0), axis=1).mean()
     rand_step = np.linalg.norm(np.diff(xyz, axis=0), axis=1).mean()
     assert step < rand_step * 0.35
+
+def test_kd_index_shapes_and_order(rng):
+    from icpx.kernels.blocknn import build_kd_index
+
+    xyz = rng.normal(size=(1000, 3)).astype(np.float32)
+    idx = build_kd_index(xyz, tile_size=128)
+    assert idx.tiles.shape == (8, 128, 3)
+    order = np.asarray(idx.order)
+    assert sorted(order[order >= 0].tolist()) == list(range(1000))
+
+
+def test_kd_index_recall_surface(rng):
+    """VERDICT round-1 item 3: >=99.9% recall with KD-split tiles at the
+    default operating point (S=128, Sq=32, K=12 -- 25% less fold work than
+    the round-1 Morton S=256/Sq=64/K=8 default)."""
+    from icpx.kernels.blocknn import build_kd_index
+
+    r = synthetic_surface(20000, seed=0)
+    q = synthetic_surface(20000, seed=1)
+    ridx = build_kd_index(r, tile_size=128)
+    qidx = build_kd_index(q, tile_size=32)
+    d_v, _ = block_nn(qidx.tiles, ridx, k_tiles=12)
+    valid = np.asarray(qidx.order) >= 0
+    d_b, _ = _nearest_neighbor_jnp(
+        jnp.asarray(np.asarray(qidx.tiles).reshape(-1, 3)), jnp.asarray(r)
+    )
+    miss = (np.asarray(d_v)[valid] > np.asarray(d_b)[valid] + 1e-6).mean()
+    assert miss < 0.001, f"miss rate {miss}"
+
+
+def test_kd_index_recall_volume(rng):
+    """Uniform volume is the Morton worst case; KD tiles must fix it."""
+    from icpx.kernels.blocknn import build_kd_index
+
+    r = rng.uniform(-1, 1, (30000, 3)).astype(np.float32)
+    q = rng.uniform(-1, 1, (10000, 3)).astype(np.float32)
+    ridx = build_kd_index(r, tile_size=128)
+    qidx = build_kd_index(q, tile_size=32)
+    d_v, _ = block_nn(qidx.tiles, ridx, k_tiles=12)
+    valid = np.asarray(qidx.order) >= 0
+    d_b, _ = _nearest_neighbor_jnp(
+        jnp.asarray(np.asarray(qidx.tiles).reshape(-1, 3)), jnp.asarray(r)
+    )
+    miss = (np.asarray(d_v)[valid] > np.asarray(d_b)[valid] + 1e-6).mean()
+    assert miss < 0.001, f"miss rate {miss}"
+
+
+def test_kd_index_masked(rng):
+    from icpx.kernels.blocknn import build_kd_index
+
+    xyz = rng.normal(size=(700, 3)).astype(np.float32)
+    mask = rng.uniform(size=(700,)) > 0.3
+    idx = build_kd_index(xyz, jnp.asarray(mask), tile_size=64)
+    order = np.asarray(idx.order)
+    got = sorted(order[order >= 0].tolist())
+    assert got == sorted(np.nonzero(mask)[0].tolist())
+    # sentinel coords on padding rows
+    tiles = np.asarray(idx.tiles).reshape(-1, 3)
+    assert np.all(np.abs(tiles[order < 0]) >= 1e6)
+
+
+def test_fused3_matches_brute(rng):
+    """The take-3 fused kernel (interpret mode) returns exact NN on data
+    where the candidate union covers the true tile."""
+    from icpx.kernels.blocknn import build_kd_index
+    from icpx.kernels.blocknn_pallas import block_nn_fused3
+
+    r = rng.uniform(-1, 1, (8000, 3)).astype(np.float32)
+    q = rng.uniform(-1, 1, (4000, 3)).astype(np.float32)
+    ridx = build_kd_index(r, tile_size=128)
+    qidx = build_kd_index(q, tile_size=32)
+    d_f, i_f = block_nn_fused3(
+        qidx.tiles, ridx, k_tiles=12, group=4, u_max=32, interpret=True
+    )
+    valid = np.asarray(qidx.order) >= 0
+    d_b, i_b = _nearest_neighbor_jnp(
+        jnp.asarray(np.asarray(qidx.tiles).reshape(-1, 3)), jnp.asarray(r)
+    )
+    assert (np.asarray(i_f)[valid] == np.asarray(i_b)[valid]).mean() > 0.999
+    miss = (np.asarray(d_f)[valid] > np.asarray(d_b)[valid] + 1e-6).mean()
+    assert miss < 0.001
+
+
+def test_fused_moments_superset_of_jnp(rng):
+    """Fused radius moments sees a candidate-union superset: neighbor
+    counts are >= the jnp fold's, and equal-count rows agree to fp32."""
+    from icpx.kernels.blocknn import build_kd_index, block_radius_moments
+    from icpx.kernels.blocknn_pallas import block_radius_moments_fused
+
+    r = rng.uniform(-1, 1, (8000, 3)).astype(np.float32)
+    idx = build_kd_index(r, tile_size=128)
+    radius = jnp.float32(0.15)
+    cnt_f, mean_f, cov_f = block_radius_moments_fused(
+        idx.tiles, idx, radius, k_tiles=8, group=4, u_max=32, interpret=True
+    )
+    cnt_j, mean_j, cov_j = block_radius_moments(
+        idx.tiles, idx, radius, k_tiles=8
+    )
+    valid = np.asarray(idx.order) >= 0
+    cf, cj = np.asarray(cnt_f)[valid], np.asarray(cnt_j)[valid]
+    assert np.all(cf >= cj)
+    same = cf == cj
+    assert same.mean() > 0.8
+    assert np.abs(np.asarray(mean_f)[valid][same] - np.asarray(mean_j)[valid][same]).max() < 1e-5
+    assert np.abs(np.asarray(cov_f)[valid][same] - np.asarray(cov_j)[valid][same]).max() < 1e-5
