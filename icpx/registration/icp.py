@@ -390,6 +390,7 @@ def register_batch(
     tgt_mask: jax.Array,
     tgt_normals: jax.Array,
     config: ICPConfig = ICPConfig(),
+    init: Optional[SE3] = None,  # batched (B,) initial guesses
 ) -> ICPResult:
     """Register B independent pairs in one vmapped executable.
 
@@ -403,11 +404,19 @@ def register_batch(
     magnitudes) and the shift is composed back into the returned transform.
     """
 
-    def one(sx, sm, sn, tx, tm, tn):
+    if init is None:
+        b = src_xyz.shape[0]
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (b, 3, 3))
+        init = SE3(R=eye, t=jnp.zeros((b, 3), jnp.float32))
+
+    def one(sx, sm, sn, tx, tm, tn, iR, it):
         denom = jnp.maximum(tm.sum(), 1).astype(jnp.float32)
         center = jnp.where(tm[:, None], tx, 0.0).sum(0) / denom
         sx = jnp.where(sm[:, None], sx - center[None, :], sx)
         tx = jnp.where(tm[:, None], tx - center[None, :], tx)
+        shift = SE3.identity().replace(t=-center)
+        unshift = SE3.identity().replace(t=center)
+        init_c = shift @ SE3(R=iR, t=it) @ unshift
 
         def nn_fn(p):
             d2, idx = nearest_neighbor(
@@ -415,13 +424,12 @@ def register_batch(
             )
             return tx[idx], tn[idx], jnp.sqrt(d2)
 
-        res = _icp_scan(config, sx, sm, sn, SE3.identity(), nn_fn)
-        shift = SE3.identity().replace(t=-center)
-        unshift = SE3.identity().replace(t=center)
+        res = _icp_scan(config, sx, sm, sn, init_c, nn_fn)
         return res.replace(transform=unshift @ res.transform @ shift)
 
     return jax.vmap(one)(
-        src_xyz, src_mask, src_normals, tgt_xyz, tgt_mask, tgt_normals
+        src_xyz, src_mask, src_normals, tgt_xyz, tgt_mask, tgt_normals,
+        init.R, init.t,
     )
 
 

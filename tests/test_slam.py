@@ -130,3 +130,56 @@ def test_scan_to_map_stays_bounded():
     assert np.isfinite(ts).all()
     ate_map = ate_rmse(res_map.poses, gt, align=False)
     assert ate_map < 0.7, f"map-mode ATE {ate_map:.3f}"
+
+def test_closure_found_beyond_drift_gate():
+    """VERDICT round-1 item 5: closures discoverable when accumulated
+    drift exceeds max_candidate_dist (position gating alone can never
+    find these), via the appearance (ring-descriptor) channel + yaw
+    seeding; verification is batched."""
+    world = make_world(n_points=80000, extent=25.0, seed=5)
+    # two keyframes at the SAME true place, second with a yaw offset
+    a = SE3.identity().replace(t=jnp.asarray([0.0, 0.0, 1.2]))
+    yaw = 0.9
+    c, s = np.cos(yaw), np.sin(yaw)
+    b = SE3(
+        R=jnp.asarray([[c, -s, 0], [s, c, 0], [0, 0, 1]], jnp.float32),
+        t=jnp.asarray([0.3, -0.2, 1.2]),
+    )
+    # a few in-between keyframes elsewhere (distractors)
+    mids = [
+        SE3.identity().replace(
+            t=jnp.asarray([6.0 + 2.0 * k, 4.0, 1.2], jnp.float32)
+        )
+        for k in range(5)
+    ]
+    true_poses = [a] + mids + [b]
+    frames = simulate_scans(
+        world, true_poses, max_range=14.0, points_per_scan=2048,
+        noise=0.02, seed=7,
+    )
+    # believed poses: drift of 8 m on the revisit (>> 3 m gate)
+    believed = list(true_poses)
+    believed[-1] = believed[-1].replace(
+        t=believed[-1].t + jnp.asarray([8.0, 3.0, 0.0])
+    )
+    cfg = LoopClosureConfig(
+        min_separation=3,
+        max_candidate_dist=3.0,
+        max_descriptor_dist=0.25,
+        accept_rmse=0.12,
+    )
+    edges = detect_loop_closures(believed, frames, cfg)
+    pair_ids = [(i, j) for (i, j, _, _) in edges]
+    assert (0, len(frames) - 1) in pair_ids, pair_ids
+    # verified transform must match the TRUE relative pose
+    for (i, j, T, rmse) in edges:
+        if (i, j) == (0, len(frames) - 1):
+            true_rel = a.inverse() @ b
+            rot_err, t_err = T.distance_to(true_rel)
+            assert float(rot_err) < 0.05 and float(t_err) < 0.15
+    # position-only config must NOT find it (the round-1 failure mode)
+    cfg_pos = LoopClosureConfig(
+        min_separation=3, max_candidate_dist=3.0, max_descriptor_dist=0.0
+    )
+    edges_pos = detect_loop_closures(believed, frames, cfg_pos)
+    assert (0, len(frames) - 1) not in [(i, j) for (i, j, _, _) in edges_pos]
