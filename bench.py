@@ -81,18 +81,25 @@ def main():
     )
 
     # Normal estimation happens once per cloud in a real pipeline; include
-    # it in the timed path (it is part of registering a fresh pair).
+    # it in the timed path (it is part of registering a fresh pair). In
+    # block mode it runs in-jit off the shared KD indexes (one build per
+    # cloud); the brute path estimates up front.
     # `eps` perturbs the input per repetition: some execution relays
     # memoize identical (executable, args) calls, which would report
     # cache-hit latency instead of compute (see .claude/skills/verify).
+    block = cfg.resolve_nn(src.capacity) == "block"
+
     def run(src_xyz, src_mask, tgt_xyz, tgt_mask, eps):
-        s = estimate_normals(
-            PointCloud(xyz=src_xyz + eps, mask=src_mask), k=cfg.k_normals
-        )
-        t = estimate_normals(
-            PointCloud(xyz=tgt_xyz, mask=tgt_mask), k=cfg.k_normals
-        )
-        res = _register_jit(s, t, SE3.identity(), cfg)
+        s = PointCloud(xyz=src_xyz + eps, mask=src_mask)
+        t = PointCloud(xyz=tgt_xyz, mask=tgt_mask)
+        if block:
+            res = _register_jit(
+                s, t, SE3.identity(), cfg, normals_for=("src", "tgt")
+            )
+        else:
+            s = estimate_normals(s, k=cfg.k_normals)
+            t = estimate_normals(t, k=cfg.k_normals)
+            res = _register_jit(s, t, SE3.identity(), cfg)
         return res.transform.R, res.transform.t, res.final_rmse
 
     import jax.numpy as jnp

@@ -61,6 +61,12 @@ class TileIndex:
         return self.tiles.shape[1]
 
 
+# Morton pre-sort hands segments of at most this many points to the
+# median-cut phase of build_kd_index (segment-local sorts are ~10x
+# cheaper than global ones; 16k keeps every in-node sort in that regime).
+_KD_SEG = 65536
+
+
 def _part1by2(x: jax.Array) -> jax.Array:
     """Spread 10 bits to every 3rd bit (Morton interleave helper)."""
     x = x & 0x3FF
@@ -151,16 +157,28 @@ def build_kd_index(
     Alternative builder to `build_tile_index` producing the same TileIndex
     structure (every query path works unchanged). Morton-range tiles
     sprawl at octant boundaries of the space-filling curve, which loosens
-    the AABB candidate bound and costs recall (measured ~5%% misses at
-    K=8 on uniform volumes); median cuts along each node's widest axis
-    give tight non-overlapping boxes, so fewer candidate tiles recover
-    >=99.9%% recall (VERDICT weak #2 / SURVEY §7 hard-part #1).
+    the AABB candidate bound and costs recall (measured 1.4-7%% misses on
+    uniform volumes even at K=12); median cuts along each node's widest
+    axis give tight non-overlapping boxes, so fewer candidate tiles
+    recover >=99.9%% recall (VERDICT weak #2 / SURVEY §7 hard-part #1).
 
-    Build = L batched argsorts (L = log2 T): each level reorders points
-    within every node by the node's widest-extent coordinate; equal-size
-    halves keep every level a pure reshape (static shapes, no segment
-    bookkeeping). Invalid points carry +inf keys and sink to each node's
-    tail, ending as tile padding exactly like the Morton builder.
+    Build (measured on chip at 1M pts): one global Morton pre-sort
+    (~18 ms) segments the cloud into <=`_KD_SEG`-point nodes, then
+    log2(T/c0) batched median-cut levels refine each node (~1 ms each —
+    segment-local sorts are ~10x cheaper than global ones). A pure
+    top-down median build costs 260 ms in the global levels alone; the
+    Morton phase replaces them at count-balanced (not space-balanced)
+    boundaries, and the in-node cuts immediately separate any Morton-seam
+    sprawl, so leaf compactness — the thing recall depends on — survives
+    (re-measured vs exact NN at 1M: <=0.08% miss at S=256/K=8 and
+    <=0.013% at S=128/K=12, vs 0.00-0.03% for the pure build at 10x the
+    cost; tests/test_blocknn keeps the >=99.9% recall property).
+    Every level moves data with ONE multi-operand `lax.sort` (key plus
+    x/y/z/orig sorted together): no argsort + per-array random gathers,
+    which dominated the old build's cost.
+
+    Invalid points carry +inf keys and sink to each node's tail, ending
+    as tile padding exactly like the Morton builder.
     """
     n = xyz.shape[0]
     mask = jnp.ones((n,), bool) if mask is None else mask
@@ -181,9 +199,43 @@ def build_kd_index(
         valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
         orig = jnp.concatenate([orig, jnp.full((pad,), -1, jnp.int32)])
 
-    levels = t2.bit_length() - 1
-    for level in range(levels):
-        c = 1 << level
+    def sort_by(key, c):
+        """Reorder (pts, valid, orig) within each of c segments by key;
+        one fused multi-operand sort, no gathers. valid rides in orig's
+        sign (orig < 0 == invalid)."""
+        nonlocal pts, valid, orig
+        o = jnp.where(valid, orig, -1)
+        _, x0, x1, x2, og = jax.lax.sort(
+            (
+                key.reshape(c, -1),
+                pts[:, 0].reshape(c, -1),
+                pts[:, 1].reshape(c, -1),
+                pts[:, 2].reshape(c, -1),
+                o.reshape(c, -1),
+            ),
+            dimension=1,
+            num_keys=1,
+            is_stable=True,
+        )
+        pts = jnp.stack([x0, x1, x2], axis=-1).reshape(total, 3)
+        orig = og.reshape(total)
+        valid = orig >= 0
+
+    # choose the segment size the Morton phase hands to the median phase
+    c0 = 1
+    while total // c0 > _KD_SEG and c0 < t2:
+        c0 *= 2
+
+    if c0 > 1:
+        lo = jnp.min(jnp.where(valid[:, None], pts, PAD_COORD), axis=0)
+        hi = jnp.max(jnp.where(valid[:, None], pts, -PAD_COORD), axis=0)
+        inv_extent = 1.0 / jnp.maximum(hi - lo, 1e-6)
+        mkeys = morton_keys(pts, lo, inv_extent)
+        mkeys = jnp.where(valid, mkeys, jnp.int32(2**30))
+        sort_by(mkeys, 1)
+
+    c = c0
+    while c < t2:
         m = total // c
         seg = pts.reshape(c, m, 3)
         v = valid.reshape(c, m)
@@ -194,14 +246,8 @@ def build_kd_index(
             seg, widest[:, None, None], axis=2
         )[..., 0]  # (c, m)
         key = jnp.where(v, vals, PAD_COORD)
-        order = jnp.argsort(key, axis=1, stable=True).astype(jnp.int32)
-        pts = jnp.take_along_axis(seg, order[..., None], axis=1).reshape(
-            total, 3
-        )
-        valid = jnp.take_along_axis(v, order, axis=1).reshape(total)
-        orig = jnp.take_along_axis(
-            orig.reshape(c, m), order, axis=1
-        ).reshape(total)
+        sort_by(key, c)
+        c *= 2
 
     sorted_xyz = jnp.where(valid[:, None], pts, PAD_COORD)
     order = jnp.where(valid, orig, -1)
@@ -225,6 +271,38 @@ def build_kd_index(
     )
 
 
+def coarsen_index(index: TileIndex, factor: int) -> TileIndex:
+    """Merge `factor` adjacent tiles into one (T/factor, S*factor, 3)
+    index over the SAME flat point order.
+
+    For KD indexes with power-of-two tile counts, adjacent tiles are
+    siblings, so merged tiles are exactly the parent nodes' compact
+    boxes — one fine build serves every coarser granularity (builds cost
+    ~28 ms at 1M points; this is a reshape plus per-tile reductions).
+    """
+    t, s, _ = index.tiles.shape
+    if t % factor:
+        raise ValueError(f"tile count {t} not divisible by {factor}")
+    tiles = index.tiles.reshape(t // factor, s * factor, 3)
+    valid = (index.order >= 0).reshape(t // factor, s * factor)
+    box_lo = jnp.min(jnp.where(valid[..., None], tiles, PAD_COORD), axis=1)
+    box_hi = jnp.max(
+        jnp.where(valid[..., None], tiles, -PAD_COORD), axis=1
+    )
+    n_valid = valid.sum(axis=1, keepdims=True)
+    centroids = jnp.where(valid[..., None], tiles, 0.0).sum(axis=1) / (
+        jnp.maximum(n_valid, 1)
+    )
+    centroids = jnp.where(n_valid > 0, centroids, PAD_COORD)
+    return TileIndex(
+        tiles=tiles,
+        box_lo=box_lo,
+        box_hi=box_hi,
+        centroids=centroids,
+        order=index.order,
+    )
+
+
 def _box_sqdist(
     lo_a: jax.Array, hi_a: jax.Array, lo_b: jax.Array, hi_b: jax.Array
 ) -> jax.Array:
@@ -238,19 +316,26 @@ def _box_sqdist(
     return jnp.sum(gap * gap, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("k_tiles", "max_chunk"))
+@partial(jax.jit, static_argnames=("k_tiles", "max_chunk", "return_pos"))
 def block_nn(
     query_tiles: jax.Array,
     index: TileIndex,
     *,
     k_tiles: int = 8,
     max_chunk: int = 32768,
+    return_pos: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """NN of spatially-coherent query tiles (Tq, Sq, 3) into the index.
 
     Returns (sqdist (Tq*Sq,), original ref index (Tq*Sq,), flattened in
     query-tile order). Queries in a tile share candidate tiles — callers
     must present spatially sorted tiles (see module docstring).
+
+    With `return_pos` the second output is the SORTED flat position into
+    `index.tiles.reshape(-1, 3)` instead of the original index — callers
+    holding sorted-layout payloads skip the `order` indirection gather,
+    and pad matches are detected by score magnitude (sentinel coords put
+    them >= ~1e16) rather than an order lookup.
 
     Above `max_chunk` query tiles, processing runs in chunks (lax.map) so
     the per-fold score tensor stays bounded (~chunk*Sq*S*4 bytes): 10M-pt
@@ -261,7 +346,8 @@ def block_nn(
         qt, n_chunks, chunk = _pad_chunks(query_tiles, max_chunk)
         d, i = jax.lax.map(
             lambda q: block_nn(
-                q, index, k_tiles=k_tiles, max_chunk=max_chunk
+                q, index, k_tiles=k_tiles, max_chunk=max_chunk,
+                return_pos=return_pos,
             ),
             qt,
         )
@@ -301,6 +387,8 @@ def block_nn(
 
     qq = jnp.sum(query_tiles**2, axis=2)
     d = jnp.maximum(best_s + qq, 0.0).reshape(-1)
+    if return_pos:
+        return jnp.where(d < 1e15, d, jnp.inf), best_p.reshape(-1)
     ridx = index.order[best_p.reshape(-1)]  # (Tq*Sq,) original ids (-1 pad)
     d = jnp.where(ridx >= 0, d, jnp.inf)
     return d, jnp.maximum(ridx, 0)

@@ -287,6 +287,228 @@ def block_nn_fused3(
     return d, jnp.maximum(ridx, 0)
 
 
+# ---- take 4: VPU broadcast score, union pre-gather, VMEM fold ---------------
+#
+# Round-2 lesson (measured on chip at 1M pts): take 3's
+# `dot_general((GQ,8),(8,S))` score runs on the MXU at 8/128 = 6% array
+# utilization, x6 passes for fp32 HIGHEST — 117 ms/pass, LOSING to the
+# XLA jnp fold (47 ms). The distance expansion has contraction depth 3;
+# no matmul shape fixes that. Take 4 computes the score on the VPU as
+# broadcast FMAs — score = rr - 2(qx*rx + qy*ry + qz*rz) with qx (GQ,1)
+# against rx (1,S) — which is ~7 elementwise ops per candidate pair:
+# 1M queries x 8 tiles x 256 cands ~ 1.4e10 ops ~ 7 ms at VPU peak.
+# Everything else (groups, unions, dense XLA pre-gather, VMEM min-fold,
+# lane-tiebreak epilogue) is take 3 unchanged.
+
+
+def _vpu_kernel(q_ref, rx_ref, d_out, p_out, *, n_u, s):
+    q = q_ref[0]  # (GQ, 4) = x, y, z, qq
+    qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3]
+    bs = jnp.full((q.shape[0], s), _BIG, jnp.float32)
+    bu = jnp.zeros((q.shape[0], s), jnp.int32)
+    for u in range(n_u):  # static unroll; operands all VMEM
+        r = rx_ref[0, u]  # (4, S) = x, y, z, rr rows
+        rx, ry, rz, rr = r[0:1], r[1:2], r[2:3], r[3:4]
+        score = rr - 2.0 * (qx * rx + qy * ry + qz * rz)  # (GQ, S) VPU
+        better = score < bs
+        bs = jnp.where(better, score, bs)
+        bu = jnp.where(better, u, bu)
+    qq = q[:, 3:4]
+    smin = jnp.min(bs, axis=1, keepdims=True)
+    lane = jax.lax.broadcasted_iota(jnp.int32, bs.shape, 1)
+    lpos = bu * s + lane  # local position u*S + in-tile index
+    cand = jnp.where(bs == smin, lpos, -1)
+    p_out[...] = jnp.max(cand, axis=1, keepdims=True)
+    d_out[...] = jnp.maximum(smin + qq, 0.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_tiles", "group", "u_max", "interpret", "return_pos"),
+)
+def block_nn_fused4(
+    query_tiles: jax.Array,
+    index: TileIndex,
+    *,
+    k_tiles: int = 8,
+    group: int = 4,
+    u_max: int = 16,
+    interpret: bool = False,
+    return_pos: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Drop-in for `blocknn.block_nn` (same (sqdist, original idx) output):
+    per-group candidate unions, VPU-broadcast score, VMEM min-fold."""
+    tq, sq, _ = query_tiles.shape
+    t, s, _ = index.tiles.shape
+    if tq % group:
+        raise ValueError(f"tq={tq} not divisible by group={group}")
+    g = tq // group
+    gq = group * sq
+    n = tq * sq
+
+    cand_tiles, _ = _candidate_tiles(query_tiles, index, k_tiles)
+    unions = group_unions(cand_tiles, group, u_max)  # (G, U)
+    n_u = unions.shape[1]
+
+    qf = query_tiles.reshape(n, 3)
+    q4 = jnp.concatenate(
+        [qf, jnp.sum(qf * qf, axis=1, keepdims=True)], axis=1
+    ).reshape(g, gq, 4)
+    rr = jnp.sum(index.tiles**2, axis=2)
+    rt = jnp.concatenate(
+        [jnp.swapaxes(index.tiles, 1, 2), rr[:, None, :]], axis=1
+    )  # (T, 4, S)
+    rt_union = rt[unions]  # (G, U, 4, S) contiguous-row gather
+
+    d, lpos = pl.pallas_call(
+        functools.partial(_vpu_kernel, n_u=n_u, s=s),
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, gq, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, n_u, 4, s),
+                lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((gq, 1), lambda i: (i, 0)),
+            pl.BlockSpec((gq, 1), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(q4, rt_union)
+
+    lpos = lpos.reshape(-1)
+    gid = jnp.arange(n, dtype=jnp.int32) // gq
+    tid = unions[gid, lpos // s]
+    pos = tid * s + lpos % s
+    d = d.reshape(-1)
+    if return_pos:
+        return jnp.where(d < 1e15, d, jnp.inf), pos
+    ridx = index.order[pos]
+    d = jnp.where(ridx >= 0, d, jnp.inf)
+    return d, jnp.maximum(ridx, 0)
+
+
+def _vpu_moments_kernel(q_ref, rf_ref, m_out, *, n_u):
+    q = q_ref[0]  # (GQ, 4) = xc, yc, zc, qq - r^2
+    qx, qy, qz, t2 = q[:, 0:1], q[:, 1:2], q[:, 2:3], q[:, 3:4]
+    m = jnp.zeros_like(m_out[0])  # (16, GQ)
+    for u in range(n_u):
+        rf = rf_ref[0, u]  # (16, S): x,y,z,rr,1,xx,yy,zz,xy,xz,yz,0*5
+        rx, ry, rz, rr = rf[0:1], rf[1:2], rf[2:3], rf[3:4]
+        score = rr - 2.0 * (qx * rx + qy * ry + qz * rz) + t2  # d^2 - r^2
+        w = (score <= 0.0).astype(jnp.float32)  # (GQ, S)
+        # moment accumulation IS a good MXU shape: contraction depth S
+        m = m + jax.lax.dot_general(
+            rf,
+            w,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (16, GQ)
+    m_out[0] = m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k_tiles", "group", "u_max", "interpret")
+)
+def block_radius_moments_fused4(
+    query_tiles: jax.Array,
+    index: TileIndex,
+    radius: jax.Array,
+    *,
+    k_tiles: int = 8,
+    group: int = 1,
+    u_max: int = 12,
+    interpret: bool = False,
+):
+    """Drop-in for `blocknn.block_radius_moments`: (count (N,), mean (N,3),
+    cov (N,3,3)) in sorted-query order. VPU score (exact fp32 radius
+    test), MXU moment accumulation, group-centroid centering for fp32
+    conditioning."""
+    tq, sq, _ = query_tiles.shape
+    t, s, _ = index.tiles.shape
+    if tq % group:
+        raise ValueError(f"tq={tq} not divisible by group={group}")
+    g = tq // group
+    gq = group * sq
+    n = tq * sq
+
+    cand_tiles, _ = _candidate_tiles(query_tiles, index, k_tiles)
+    unions = group_unions(cand_tiles, group, u_max)  # (G, U)
+    n_u = unions.shape[1]
+
+    # group centroids (over valid queries) for fp32 conditioning
+    qs = query_tiles.reshape(g, gq, 3)
+    qvalid = jnp.max(jnp.abs(qs), axis=2) < 1.0e6
+    denom = jnp.maximum(qvalid.sum(axis=1), 1).astype(jnp.float32)
+    q_cent = jnp.where(qvalid[..., None], qs, 0.0).sum(axis=1) / denom[:, None]
+
+    qc = qs - q_cent[:, None, :]
+    qq = jnp.sum(qc * qc, axis=2)
+    q4 = jnp.concatenate(
+        [qc, (qq - radius * radius)[..., None]], axis=2
+    )  # (G, GQ, 4)
+
+    # gather raw coords then center per group and expand features
+    rg = index.tiles[unions]  # (G, U, S, 3)
+    rc = rg - q_cent[:, None, None, :]
+    x, y, z = rc[..., 0], rc[..., 1], rc[..., 2]
+    rtf = jnp.stack(
+        [x, y, z, x * x + y * y + z * z, jnp.ones_like(x),
+         x * x, y * y, z * z, x * y, x * z, y * z,
+         jnp.zeros_like(x), jnp.zeros_like(x), jnp.zeros_like(x),
+         jnp.zeros_like(x), jnp.zeros_like(x)],
+        axis=2,
+    )  # (G, U, 16, S)
+
+    mT = pl.pallas_call(
+        functools.partial(_vpu_moments_kernel, n_u=n_u),
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, gq, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, n_u, 16, s),
+                lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, 16, gq), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((g, 16, gq), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(q4, rtf)
+
+    m = jnp.swapaxes(mT, 1, 2).reshape(n, 16)
+    cnt = m[:, 4]
+    safe = jnp.maximum(cnt, 1.0)[:, None]
+    mean_c = m[:, 0:3] / safe
+    exx = jnp.stack(
+        [
+            jnp.stack([m[:, 5], m[:, 8], m[:, 9]], axis=1),
+            jnp.stack([m[:, 8], m[:, 6], m[:, 10]], axis=1),
+            jnp.stack([m[:, 9], m[:, 10], m[:, 7]], axis=1),
+        ],
+        axis=1,
+    ) / safe[..., None]
+    cov = exx - mean_c[:, :, None] * mean_c[:, None, :]
+    mean = mean_c + jnp.repeat(q_cent, gq, axis=0)
+    return cnt, mean, cov
+
+
 # ---- take 2: grouped queries, internal candidate loop, manual DMA -----------
 
 
@@ -553,9 +775,12 @@ def block_radius_moments_fused(
 
 
 def use_fused_default() -> bool:
-    """Whether the Pallas fused kernels are usable on the current default
-    backend (TPU real or via the axon tunnel; not CPU/interpret)."""
-    try:
-        return jax.default_backend() not in ("cpu",)
-    except Exception:
-        return False
+    """Whether the fused Pallas fold should be the default. Measured on
+    the real chip (1M pts, S=256/Sq=64/K=8): take 3 = 117 ms (MXU at 6%
+    array utilization on the depth-3 contraction), take 4 = 47-54 ms
+    (VPU broadcast; the (GQ,S) running-min VMEM traffic offsets the
+    score-fusion win), XLA jnp fold = 47 ms. The fused kernels currently
+    only TIE the XLA fold, so they stay opt-in (`block_fused="on"`);
+    take 4's union superset does give slightly better recall (0.042% vs
+    0.076% miss vs exact NN)."""
+    return False

@@ -49,6 +49,10 @@ class ICPConfig:
     max_iters: int = 10  # myicp.cpp:6
     diff_threshold: float = 1.0  # myicp.cpp:6 (evalDiff sum)
     rmse_change_tol: float = 0.0  # extra stop: |delta RMSE| below this
+    # extra stop (PCL transformation_epsilon analogue): stop once an
+    # iteration's increment moves by less than this, measured as
+    # rotation angle (rad) + translation norm (cloud units). 0 = off.
+    transform_tol: float = 0.0
     k_normals: int = 10  # myicp.cpp:160
     max_corr_dist: float = float("inf")
     robust: str = "none"  # none|huber|tukey|welsch|cauchy
@@ -66,9 +70,19 @@ class ICPConfig:
     # spatially-tiled IVF-style O(N*K*S) (the large-cloud path), "auto"
     # picks block above `block_auto_threshold` target points.
     nn_method: str = "auto"
-    block_tile: int = 128  # reference tile size S
-    block_q_tile: int = 32  # query tile size Sq (smaller = tighter boxes)
-    block_k: int = 12
+    block_tile: int = 256  # reference tile size S
+    block_q_tile: int = 64  # query tile size Sq (smaller = tighter boxes)
+    block_k: int = 8
+    # Candidate-tile count for refine-phase iterations (after the coarse
+    # phase has aligned the clouds, correspondences are near and a
+    # smaller candidate set keeps recall; 0 = use block_k throughout).
+    block_k_refine: int = 6
+    # Coarse phase: the first `coarse_iters` iterations run on a
+    # stride-`coarse_stride` row subsample with 4 sibling KD tiles merged
+    # per query tile (the parent box), reusing full-resolution normals —
+    # ~4x cheaper NN while the motion is still large. 0 disables.
+    coarse_iters: int = 2
+    coarse_stride: int = 4
     block_auto_threshold: int = 32768
     # Tile partitioner: "kd" (median-cut, compact boxes — measured 0.01%
     # NN miss at the defaults vs ~5% for Morton ranges on uniform volumes)
@@ -170,10 +184,18 @@ def register(
     init_c = shift @ init @ unshift
 
     needs_normals = config.objective in ("symmetric", "p2plane")
+    block = config.resolve_nn(tgt.capacity) == "block"
+    normals_for = []
     if needs_normals and config.objective == "symmetric" and src.normals is None:
-        src = estimate_normals(src, k=config.k_normals)
+        if block:
+            normals_for.append("src")  # estimated in-jit off the shared index
+        else:
+            src = estimate_normals(src, k=config.k_normals)
     if needs_normals and tgt.normals is None:
-        tgt = estimate_normals(tgt, k=config.k_normals)
+        if block:
+            normals_for.append("tgt")
+        else:
+            tgt = estimate_normals(tgt, k=config.k_normals)
     if config.objective == "gicp":
         from icpx.kernels.normals import estimate_covariances
 
@@ -182,7 +204,9 @@ def register(
         if tgt.covs is None:
             tgt = estimate_covariances(tgt, k=max(config.k_normals, 15))
 
-    res = _register_jit(src, tgt, init_c, config)
+    res = _register_jit(
+        src, tgt, init_c, config, normals_for=tuple(normals_for)
+    )
     return res.replace(transform=unshift @ res.transform @ shift)
 
 
@@ -195,6 +219,7 @@ def _icp_scan(
     nn_fn,
     reduce=lambda x: x,
     aux_rot=None,
+    prev_rmse0=None,
 ) -> ICPResult:
     """The ICP iteration core shared by every execution mode.
 
@@ -247,6 +272,12 @@ def _icp_scan(
             (config.rmse_change_tol > 0)
             & (jnp.abs(prev_rmse - rmse) < config.rmse_change_tol)
         )
+        if config.transform_tol > 0:
+            cos_a = jnp.clip(
+                (jnp.trace(incre.R) - 1.0) * 0.5, -1.0, 1.0
+            )
+            inc_mag = jnp.arccos(cos_a) + jnp.linalg.norm(incre.t)
+            now_stop = now_stop | (inc_mag < config.transform_tol)
         return (
             it + 1,
             new_transform,
@@ -259,10 +290,13 @@ def _icp_scan(
         )
 
     nan_hist = jnp.full((config.max_iters,), jnp.nan, jnp.float32)
+    # prev_rmse0 seeds the convergence state (e.g. with the coarse
+    # phase's final RMSE, so an already-converged refine phase can stop
+    # after ONE iteration instead of needing two to see a stable RMSE).
     state0 = (
         jnp.int32(0),
         init,
-        jnp.float32(jnp.inf),
+        jnp.float32(jnp.inf) if prev_rmse0 is None else prev_rmse0,
         jnp.array(False),
         jnp.array(False),
         nan_hist,
@@ -284,9 +318,39 @@ def _icp_scan(
     )
 
 
-@partial(jax.jit, static_argnames=("config",))
+def _index_normals(index, k_normals, k_tiles=4):
+    """PCA normals for an index's own tiles (self-query radius moments):
+    (normals, valid_count) in SORTED tile order. The shared-index fast
+    path — one KD build serves NN search and normal estimation
+    (`pcl::NormalEstimation` equivalent, `myicp.cpp:152-172`)."""
+    import numpy as np
+
+    from icpx.kernels.blocknn import block_radius_moments
+    from icpx.kernels.eigh3 import smallest_eigenvector_3x3
+    from icpx.kernels.voxel import auto_cell_size
+
+    flat = index.tiles.reshape(-1, 3)
+    valid = index.order >= 0
+    scale = 3.0 * float(np.sqrt(max(k_normals, 1) / 10.0))
+    radius = auto_cell_size(flat, valid, scale=scale)
+    cnt, _, cov = block_radius_moments(
+        index.tiles, index, radius, k_tiles=k_tiles
+    )
+    normal, _ = smallest_eigenvector_3x3(cov)
+    # orient toward the (centered-frame) viewpoint at the origin
+    flip = jnp.sum(normal * (-flat), axis=-1) < 0.0
+    normal = jnp.where(flip[:, None], -normal, normal)
+    ok = (cnt >= 3.0) & valid
+    return jnp.where(ok[:, None], normal, 0.0)
+
+
+@partial(jax.jit, static_argnames=("config", "normals_for"))
 def _register_jit(
-    src: PointCloud, tgt: PointCloud, init: SE3, config: ICPConfig
+    src: PointCloud,
+    tgt: PointCloud,
+    init: SE3,
+    config: ICPConfig,
+    normals_for: tuple = (),
 ) -> ICPResult:
     if config.objective == "gicp":
         if src.covs is None or tgt.covs is None:
@@ -317,6 +381,11 @@ def _register_jit(
         aux_rot = None
 
     method = config.resolve_nn(tgt.capacity)
+    if normals_for and method != "block":
+        raise ValueError(
+            "normals_for requires the block NN path (estimate normals "
+            "up front for brute-force registration)"
+        )
     if method == "block":
         from icpx.cloud import PAD_COORD
         from icpx.kernels.blocknn import block_nn
@@ -330,41 +399,123 @@ def _register_jit(
         order = src_order_idx.order
         valid = order >= 0
         safe = jnp.maximum(order, 0)
-        src_xyz = jnp.where(valid[:, None], src.xyz[safe], PAD_COORD)
-        src_n_s = jnp.where(valid[:, None], src_n[safe], 0.0)
-        src_mask = valid & src.mask[safe]
+        # the builder already produced the sorted, sentinel-filled coords
+        # (masked-out rows got PAD_COORD and order -1 in the build) — no
+        # 1M-row re-gather needed
+        src_xyz = src_order_idx.tiles.reshape(-1, 3)
+        src_mask = valid
         tgt_index = builder(
             tgt.xyz, tgt.mask, tile_size=config.block_tile
         )
-        tq = src_xyz.shape[0] // config.block_q_tile
+
+        # In-jit normal estimation off the SAME indexes (one KD build per
+        # cloud total — separate estimate_normals builds cost ~28 ms each
+        # at 1M pts, half the round-2 registration budget).
+        if "src" in normals_for:
+            # self-query at the FINE tiling costs a (T, T) candidate
+            # ranking (~40 ms at 1M pts); coarsen to parent tiles first
+            # (same flat point order, so the result aligns with src_xyz)
+            from icpx.kernels.blocknn import coarsen_index
+
+            s_idx = src_order_idx
+            f = config.block_tile // config.block_q_tile
+            if f > 1 and s_idx.n_tiles % f == 0:
+                s_idx = coarsen_index(s_idx, f)
+            src_n_s = _index_normals(s_idx, config.k_normals, k_tiles=4)
+        else:
+            src_n_s = jnp.where(valid[:, None], src_n[safe], 0.0)
+        if "tgt" in normals_for:
+            tgt_n_sorted = _index_normals(
+                tgt_index, config.k_normals, k_tiles=4
+            )
+            # unsort to original row order (nn_fn gathers tgt_n[idx])
+            n_t = tgt.capacity
+            osafe = jnp.where(
+                tgt_index.order >= 0, tgt_index.order, n_t
+            )
+            tgt_n = (
+                jnp.zeros((n_t + 1, 3), jnp.float32)
+                .at[osafe]
+                .set(tgt_n_sorted, mode="drop")[:n_t]
+            )
+
+        sq = config.block_q_tile
+        tq = src_xyz.shape[0] // sq
         fused = config.resolve_fused()
         group = config.block_group if tq % config.block_group == 0 else 1
 
-        def nn_fn(p):
-            # indices + two (N,3) row gathers beat in-fold payload
-            # selection by ~4x at 1M points (measured) — XLA's whole-row
-            # gather is cheap; per-tile take_along_axis is not.
-            ptiles = p.reshape(tq, config.block_q_tile, 3)
-            if fused:
-                from icpx.kernels.blocknn_pallas import block_nn_fused3
+        def make_nn(n_tiles, tile_rows, k_tiles):
+            def nn_fn(p):
+                # indices + two (N,3) row gathers beat in-fold payload
+                # selection by ~4x at 1M points (measured) — XLA's
+                # whole-row gather is cheap; per-tile take_along_axis not.
+                ptiles = p.reshape(n_tiles, tile_rows, 3)
+                if fused:
+                    from icpx.kernels.blocknn_pallas import block_nn_fused4
 
-                d2, idx = block_nn_fused3(
-                    ptiles,
-                    tgt_index,
-                    k_tiles=config.block_k,
-                    group=group,
-                    u_max=config.block_u_max,
-                )
-            else:
-                d2, idx = block_nn(
-                    ptiles, tgt_index, k_tiles=config.block_k
-                )
-            return tgt.xyz[idx], tgt_n[idx], jnp.sqrt(d2)
+                    d2, idx = block_nn_fused4(
+                        ptiles,
+                        tgt_index,
+                        k_tiles=k_tiles,
+                        group=group,
+                        u_max=config.block_u_max,
+                    )
+                else:
+                    d2, idx = block_nn(ptiles, tgt_index, k_tiles=k_tiles)
+                return tgt.xyz[idx], tgt_n[idx], jnp.sqrt(d2)
 
-        return _icp_scan(
-            config, src_xyz, src_mask, src_n_s, init, nn_fn,
-            aux_rot=aux_rot,
+            return nn_fn
+
+        # Coarse phase: stride-subsampled rows of 4 merged sibling KD
+        # tiles (the parent node's compact box) — a spatially uniform
+        # ~1/stride subsample reusing full-res normals; NN cost drops
+        # ~4x while the motion is still large (NOTES round-1 lever 3).
+        stride = config.coarse_stride
+        coarse = (
+            config.coarse_iters > 0
+            and stride > 1
+            and tq % 4 == 0
+            and tq >= 8
+            and (4 * sq) % stride == 0
         )
+        if coarse:
+            cs = 4 * sq // stride
+            xyz_c = src_xyz.reshape(tq // 4, 4 * sq, 3)[:, ::stride]
+            dn = src_n_s.shape[1]  # 3 (normals) or 9 (gicp covariances)
+            n_c = src_n_s.reshape(tq // 4, 4 * sq, dn)[:, ::stride]
+            m_c = src_mask.reshape(tq // 4, 4 * sq)[:, ::stride]
+            cfg_c = dataclasses.replace(
+                config, max_iters=config.coarse_iters, diff_threshold=0.0
+            )
+            res_c = _icp_scan(
+                cfg_c,
+                xyz_c.reshape(-1, 3),
+                m_c.reshape(-1),
+                n_c.reshape(-1, dn),
+                init,
+                make_nn(tq // 4, cs, config.block_k),
+                aux_rot=aux_rot,
+            )
+            init = res_c.transform
+            k_ref = (
+                config.block_k_refine
+                if config.block_k_refine > 0
+                else config.block_k
+            )
+            prev_rmse0 = res_c.final_rmse
+        else:
+            k_ref = config.block_k
+            prev_rmse0 = None
+
+        res = _icp_scan(
+            config, src_xyz, src_mask, src_n_s, init,
+            make_nn(tq, sq, k_ref),
+            aux_rot=aux_rot,
+            prev_rmse0=prev_rmse0,
+        )
+        if coarse:
+            res = res.replace(iters=res.iters + res_c.iters)
+        return res
 
     def nn_fn(p):
         d2, idx = nearest_neighbor(
