@@ -90,3 +90,59 @@ def ring_nearest_neighbor(
     )
     (best_d, best_i, best_pl, *_), _ = lax.scan(fold, init, None, length=n_dev)
     return best_d, best_i, (best_pl if has_payload else None)
+
+
+def ring_block_nn(
+    query_tiles: jax.Array,
+    index,
+    payload_tiles: jax.Array,
+    axis_name: str,
+    *,
+    k_tiles: int = 8,
+) -> Tuple[jax.Array, jax.Array]:
+    """Block (tile-index) NN of local query tiles against the UNION of all
+    devices' target shards — the scalable-cloud ring pass (SURVEY §2.3
+    P3+P4; serial analogue `myicp.cpp:109-111`).
+
+    Each device holds a `TileIndex` over its resident target shard plus
+    the matching `(T, S, D)` payload tiles (`blocknn.tile_payload`); both
+    rotate around the ring via `ppermute` while each step folds a
+    `block_nn_payload` answer into a running (min-dist, payload) pair.
+    Per-step comm = the shard's tile arrays (~the points themselves), the
+    same traffic as `ring_nearest_neighbor`, but each fold costs
+    O(Nq_local * K * S) instead of O(Nq_local * Ns) — the brute ring's
+    quadratic term is what made 1M+/device shards unusable (VERDICT
+    round 1, missing #1).
+
+    Returns (sqdist (Nq,), payload rows (Nq, D)); inf distance where no
+    shard held a valid candidate (payload zeros).
+    """
+    from icpx.kernels.blocknn import block_nn_payload
+
+    n_dev = lax.axis_size(axis_name)
+    perm = [(j, (j - 1) % n_dev) for j in range(n_dev)]
+    nq = query_tiles.shape[0] * query_tiles.shape[1]
+    d_pl = payload_tiles.shape[2]
+
+    def fold(carry, _):
+        best_d, best_pl, idx_cur, pl_cur = carry
+        d, pl = block_nn_payload(
+            query_tiles, idx_cur, pl_cur, k_tiles=k_tiles
+        )
+        better = d < best_d
+        best_d = jnp.where(better, d, best_d)
+        best_pl = jnp.where(better[:, None], pl, best_pl)
+        idx_next = jax.tree_util.tree_map(
+            lambda x: lax.ppermute(x, axis_name, perm), idx_cur
+        )
+        pl_next = lax.ppermute(pl_cur, axis_name, perm)
+        return (best_d, best_pl, idx_next, pl_next), None
+
+    init = (
+        jnp.full((nq,), jnp.inf, jnp.float32),
+        jnp.zeros((nq, d_pl), payload_tiles.dtype),
+        index,
+        payload_tiles,
+    )
+    (best_d, best_pl, *_), _ = lax.scan(fold, init, None, length=n_dev)
+    return best_d, best_pl

@@ -31,7 +31,7 @@ from icpx.geometry.se3 import SE3
 from icpx.kernels.knn import nearest_neighbor
 from icpx.kernels.normals import estimate_normals
 from icpx.registration.icp import ICPConfig, ICPResult, _icp_scan, result_struct
-from icpx.distributed.ring import ring_nearest_neighbor
+from icpx.distributed.ring import ring_block_nn, ring_nearest_neighbor
 
 
 def sharded_register(
@@ -47,30 +47,59 @@ def sharded_register(
     """Single-pair ICP with the source points sharded across `mesh`.
 
     Capacities must be divisible by the points-axis size (pad clouds with
-    `PointCloud.pad_to`). Normals are estimated up front (replicated) when
-    missing. With `ring=True` the target is sharded too and NN runs as
-    ring passes — use when the target cloud cannot be replicated per
-    device.
+    `PointCloud.pad_to`). Normals (or GICP covariances) are estimated up
+    front (replicated) when missing. With `ring=True` the target is
+    sharded too and NN runs as ring passes — use when the target cloud
+    cannot be replicated per device.
+
+    `config.nn_method` applies per shard: "block" sorts each local source
+    shard through the tile builder once and answers NN via the tile index
+    (per-shard index over the local target shard when `ring=True`, one
+    replicated index otherwise) — the O(N*K*S) scalable path, usable at
+    1M+ points/device where brute O(N^2/shard) is not.
     """
-    if config.objective == "gicp":
-        raise NotImplementedError(
-            "gicp is single-device for now (covariance payload plumbing)"
-        )
     n_shards = mesh.shape[points_axis]
     if src.capacity % n_shards or tgt.capacity % n_shards:
         raise ValueError(
             f"cloud capacities ({src.capacity}, {tgt.capacity}) must be "
             f"divisible by the '{points_axis}' axis size {n_shards}"
         )
-    needs_normals = config.objective in ("symmetric", "p2plane")
-    if needs_normals and config.objective == "symmetric" and src.normals is None:
-        src = estimate_normals(src, k=config.k_normals)
-    if needs_normals and tgt.normals is None:
-        tgt = estimate_normals(tgt, k=config.k_normals)
+    if config.objective == "gicp":
+        from icpx.kernels.normals import estimate_covariances
+
+        if src.covs is None:
+            src = estimate_covariances(src, k=max(config.k_normals, 15))
+        if tgt.covs is None:
+            tgt = estimate_covariances(tgt, k=max(config.k_normals, 15))
+        src_n = src.covs.reshape(src.capacity, 9)
+        tgt_n = tgt.covs.reshape(tgt.capacity, 9)
+
+        def aux_rot(T, aux):
+            C = aux.reshape(-1, 3, 3)
+            return jnp.einsum(
+                "ij,njk,lk->nil", T.R, C, T.R
+            ).reshape(-1, 9)
+
+    else:
+        needs_normals = config.objective in ("symmetric", "p2plane")
+        if (
+            needs_normals
+            and config.objective == "symmetric"
+            and src.normals is None
+        ):
+            src = estimate_normals(src, k=config.k_normals)
+        if needs_normals and tgt.normals is None:
+            tgt = estimate_normals(tgt, k=config.k_normals)
+        src_n = (
+            src.normals if src.normals is not None else jnp.zeros_like(src.xyz)
+        )
+        tgt_n = (
+            tgt.normals if tgt.normals is not None else jnp.zeros_like(tgt.xyz)
+        )
+        aux_rot = None
     if init is None:
         init = SE3.identity()
-    src_n = src.normals if src.normals is not None else jnp.zeros_like(src.xyz)
-    tgt_n = tgt.normals if tgt.normals is not None else jnp.zeros_like(tgt.xyz)
+    nn_method = config.resolve_nn(tgt.capacity)
 
     shard1 = P(points_axis)
     shard2 = P(points_axis, None)
@@ -99,7 +128,53 @@ def sharded_register(
         check_vma=False,
     )
     def run(s_xyz, s_mask, s_n, t_xyz, t_mask, t_n, init_R, init_t):
-        if ring:
+        if nn_method == "block":
+            # Per-shard spatial sort of the local source (point order is
+            # irrelevant to the psum'd normal equations) + tile-index NN:
+            # O(N*K*S) per shard instead of brute O(N * N_tgt/shard).
+            from icpx.kernels.blocknn import (
+                block_nn,
+                tile_payload,
+            )
+
+            builder = config.tile_builder()
+            s_idx = builder(s_xyz, s_mask, tile_size=config.block_q_tile)
+            sorder = s_idx.order
+            svalid = sorder >= 0
+            ssafe = jnp.maximum(sorder, 0)
+            s_xyz = s_idx.tiles.reshape(-1, 3)
+            s_mask = svalid
+            s_n = jnp.where(svalid[:, None], s_n[ssafe], 0.0)
+            sq = config.block_q_tile
+            local_tq = s_xyz.shape[0] // sq
+
+            t_idx = builder(t_xyz, t_mask, tile_size=config.block_tile)
+            if ring:
+                pl_tiles = tile_payload(
+                    t_idx, jnp.concatenate([t_xyz, t_n], axis=1)
+                )
+
+                def nn_fn(p):
+                    d2, pl = ring_block_nn(
+                        p.reshape(local_tq, sq, 3),
+                        t_idx,
+                        pl_tiles,
+                        points_axis,
+                        k_tiles=config.block_k,
+                    )
+                    return pl[:, :3], pl[:, 3:], jnp.sqrt(d2)
+
+            else:
+
+                def nn_fn(p):
+                    d2, idx = block_nn(
+                        p.reshape(local_tq, sq, 3),
+                        t_idx,
+                        k_tiles=config.block_k,
+                    )
+                    return t_xyz[idx], t_n[idx], jnp.sqrt(d2)
+
+        elif ring:
             payload = jnp.concatenate([t_xyz, t_n], axis=1)
 
             def nn_fn(p):
@@ -134,6 +209,7 @@ def sharded_register(
             SE3(R=init_R, t=init_t),
             nn_fn,
             reduce,
+            aux_rot=aux_rot,
         )
 
     return run(

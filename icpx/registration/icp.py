@@ -34,6 +34,7 @@ from icpx.kernels.normals import estimate_normals
 from icpx.registration.step import (
     correspondence_weights,
     estimate_increment,
+    identity_reduce,
     step_stats,
 )
 
@@ -217,7 +218,7 @@ def _icp_scan(
     src_n: jax.Array,
     init: SE3,
     nn_fn,
-    reduce=lambda x: x,
+    reduce=identity_reduce,
     aux_rot=None,
     prev_rmse0=None,
 ) -> ICPResult:
@@ -248,7 +249,9 @@ def _icp_scan(
         n_p = aux_rot(transform, src_n)
         q, n_q, dist = nn_fn(p)
 
-        w = correspondence_weights(config, p, n_p, q, n_q, dist, src_mask)
+        w = correspondence_weights(
+            config, p, n_p, q, n_q, dist, src_mask, reduce
+        )
         incre = estimate_increment(config, p, q, n_p, n_q, w, reduce)
         new_transform = incre @ transform
 
