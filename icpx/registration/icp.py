@@ -71,7 +71,11 @@ class ICPConfig:
     # spatially-tiled IVF-style O(N*K*S) (the large-cloud path), "auto"
     # picks block above `block_auto_threshold` target points.
     nn_method: str = "auto"
-    block_tile: int = 256  # reference tile size S
+    # Reference tile size S = 128 (round-2 default; was 256): halved tiles
+    # give the same recall from ~2x fewer candidate points per query —
+    # measured 4.3M pts/s at 1M (vs 4.0M at S=256) with refine-regime
+    # (aligned-clouds) volume recall 99.9%+ at k=6 candidates.
+    block_tile: int = 128
     block_q_tile: int = 64  # query tile size Sq (smaller = tighter boxes)
     block_k: int = 8
     # Candidate-tile count for refine-phase iterations (after the coarse
@@ -321,6 +325,13 @@ def _icp_scan(
     )
 
 
+def gicp_cov_rot(T, aux):
+    """Rotate flattened (N, 9) GICP covariances into T's frame: R C R^T.
+    The GICP auxiliary-channel rotator shared by every execution mode."""
+    C = aux.reshape(-1, 3, 3)
+    return jnp.einsum("ij,njk,lk->nil", T.R, C, T.R).reshape(-1, 9)
+
+
 def _index_normals(index, k_normals, k_tiles=4):
     """PCA normals for an index's own tiles (self-query radius moments):
     (normals, valid_count) in SORTED tile order. The shared-index fast
@@ -363,13 +374,7 @@ def _register_jit(
         n = src.capacity
         src_n = src.covs.reshape(n, 9)
         tgt_n = tgt.covs.reshape(tgt.capacity, 9)
-
-        def aux_rot(T, aux):
-            C = aux.reshape(-1, 3, 3)
-            return jnp.einsum(
-                "ij,njk,lk->nil", T.R, C, T.R
-            ).reshape(-1, 9)
-
+        aux_rot = gicp_cov_rot
     else:
         src_n = (
             src.normals
@@ -427,19 +432,23 @@ def _register_jit(
             src_n_s = _index_normals(s_idx, config.k_normals, k_tiles=4)
         else:
             src_n_s = jnp.where(valid[:, None], src_n[safe], 0.0)
+        # Target payload in SORTED tile layout: NN returns sorted flat
+        # positions (return_pos=True) and the q / n_q gathers become
+        # spatially COHERENT (queries are in KD order, their NNs are in
+        # target KD order — neighbors hit neighboring rows), instead of
+        # random-row gathers through the original (arbitrary) point
+        # order. In-jit target normals come out of _index_normals already
+        # sorted, skipping the round-1 unsort scatter entirely.
+        tgt_sorted = tgt_index.tiles.reshape(-1, 3)
         if "tgt" in normals_for:
             tgt_n_sorted = _index_normals(
                 tgt_index, config.k_normals, k_tiles=4
             )
-            # unsort to original row order (nn_fn gathers tgt_n[idx])
-            n_t = tgt.capacity
-            osafe = jnp.where(
-                tgt_index.order >= 0, tgt_index.order, n_t
-            )
-            tgt_n = (
-                jnp.zeros((n_t + 1, 3), jnp.float32)
-                .at[osafe]
-                .set(tgt_n_sorted, mode="drop")[:n_t]
+        else:
+            from icpx.kernels.blocknn import tile_payload
+
+            tgt_n_sorted = tile_payload(tgt_index, tgt_n).reshape(
+                -1, tgt_n.shape[1]
             )
 
         sq = config.block_q_tile
@@ -449,23 +458,30 @@ def _register_jit(
 
         def make_nn(n_tiles, tile_rows, k_tiles):
             def nn_fn(p):
-                # indices + two (N,3) row gathers beat in-fold payload
-                # selection by ~4x at 1M points (measured) — XLA's
-                # whole-row gather is cheap; per-tile take_along_axis not.
+                # positions + two sorted-layout row gathers beat in-fold
+                # payload selection by ~4x at 1M points (measured) —
+                # XLA's whole-row gather is cheap when the accesses are
+                # coherent; per-tile take_along_axis is not.
                 ptiles = p.reshape(n_tiles, tile_rows, 3)
                 if fused:
                     from icpx.kernels.blocknn_pallas import block_nn_fused4
 
-                    d2, idx = block_nn_fused4(
+                    d2, pos = block_nn_fused4(
                         ptiles,
                         tgt_index,
                         k_tiles=k_tiles,
                         group=group,
                         u_max=config.block_u_max,
+                        return_pos=True,
                     )
                 else:
-                    d2, idx = block_nn(ptiles, tgt_index, k_tiles=k_tiles)
-                return tgt.xyz[idx], tgt_n[idx], jnp.sqrt(d2)
+                    d2, pos = block_nn(
+                        ptiles, tgt_index, k_tiles=k_tiles, return_pos=True
+                    )
+                # pad/miss rows carry d2=inf (gated by the validity mask
+                # downstream); their PAD_COORD coords are finite, so
+                # zero-weight rows cannot produce NaNs in the solve.
+                return tgt_sorted[pos], tgt_n_sorted[pos], jnp.sqrt(d2)
 
             return nn_fn
 

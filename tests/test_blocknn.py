@@ -210,3 +210,24 @@ def test_fused_moments_superset_of_jnp(rng):
     assert same.mean() > 0.8
     assert np.abs(np.asarray(mean_f)[valid][same] - np.asarray(mean_j)[valid][same]).max() < 1e-5
     assert np.abs(np.asarray(cov_f)[valid][same] - np.asarray(cov_j)[valid][same]).max() < 1e-5
+
+
+def test_default_operating_point_recall(rng):
+    """Recall at the REGISTRATION defaults (S=128, Sq=64, coarse k=8 /
+    refine k=6). The refine phase runs on nearly-aligned clouds, so its
+    recall is measured in that regime (query = reference + small jitter);
+    the coarse phase sees unaligned clouds at k=8 over merged parent
+    query tiles and tolerates distance-inflating misses by design."""
+    from icpx.kernels.blocknn import build_kd_index
+
+    r = rng.uniform(-1, 1, (40000, 3)).astype(np.float32)
+    q = (r + rng.normal(0, 0.002, r.shape)).astype(np.float32)
+    ridx = build_kd_index(r, tile_size=128)
+    qidx = build_kd_index(q, tile_size=64)
+    d_v, _ = block_nn(qidx.tiles, ridx, k_tiles=6)
+    valid = np.asarray(qidx.order) >= 0
+    d_b, _ = _nearest_neighbor_jnp(
+        jnp.asarray(np.asarray(qidx.tiles).reshape(-1, 3)), jnp.asarray(r)
+    )
+    miss = (np.asarray(d_v)[valid] > np.asarray(d_b)[valid] + 1e-6).mean()
+    assert miss < 0.002, f"refine-regime miss rate {miss}"
