@@ -269,7 +269,7 @@ def bench_odometry(args):
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
     wall = statistics.median(times)
-    poses, is_kf, _ = out
+    poses = out.poses
     gt_rel = [gt[0].inverse() @ g for g in gt]
     plist = [
         jax.tree_util.tree_map(lambda x: x[i], poses)

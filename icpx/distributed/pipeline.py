@@ -49,6 +49,12 @@ def pipelined_pyramid_register(
 ) -> SE3:
     """Register B pairs through an L-stage coarse-to-fine pipeline
     (L = mesh axis size). Returns batched SE3 (B,).
+
+    Precondition (unlike register()/register_batch/sharded_register, which
+    auto-center): clouds must be in near-origin coordinates — at UTM-scale
+    offsets (1e5+) the fp32 squared-distance expansion loses precision.
+    Center inputs beforehand (subtract the target centroid) if needed;
+    stage handoffs make an internal conjugation intrusive here.
     """
     b, n, _ = src_xyz.shape
     L = mesh.shape[stages_axis]

@@ -64,6 +64,17 @@ def sharded_register(
             f"cloud capacities ({src.capacity}, {tgt.capacity}) must be "
             f"divisible by the '{points_axis}' axis size {n_shards}"
         )
+    # Target-centroid auto-centering, conjugated back into the returned
+    # transform — same precision discipline as register() (fp32
+    # squared-distance expansions lose ~half their digits at UTM-scale
+    # coordinate magnitudes; ADVICE round-1).
+    center = tgt.centroid()
+    shift = SE3.identity().replace(t=-center)
+    unshift = SE3.identity().replace(t=center)
+    src = src.with_xyz(src.xyz - center[None, :])
+    tgt = tgt.with_xyz(tgt.xyz - center[None, :])
+    if init is not None:
+        init = shift @ init @ unshift
     if config.objective == "gicp":
         from icpx.kernels.normals import estimate_covariances
 
@@ -212,9 +223,10 @@ def sharded_register(
             aux_rot=aux_rot,
         )
 
-    return run(
+    res = run(
         src.xyz, src.mask, src_n, tgt.xyz, tgt.mask, tgt_n, init.R, init.t
     )
+    return res.replace(transform=unshift @ res.transform @ shift)
 
 
 def sharded_register_pairs(
@@ -261,6 +273,16 @@ def sharded_register_pairs(
     )
     def run(s_xyz, s_mask, s_n, t_xyz, t_mask, t_n):
         def one_pair(sx, sm, sn, tx, tm, tn):
+            # per-pair target-centroid centering (see register_batch);
+            # the target is replicated along the points axis, so the
+            # local masked centroid already IS the global one
+            denom = jnp.maximum(tm.sum(), 1).astype(jnp.float32)
+            center = jnp.where(tm[:, None], tx, 0.0).sum(0) / denom
+            sx = jnp.where(sm[:, None], sx - center[None, :], sx)
+            tx = jnp.where(tm[:, None], tx - center[None, :], tx)
+            shift = SE3.identity().replace(t=-center)
+            unshift = SE3.identity().replace(t=center)
+
             def nn_fn(p):
                 d2, idx = nearest_neighbor(
                     p,
@@ -271,9 +293,10 @@ def sharded_register_pairs(
                 )
                 return tx[idx], tn[idx], jnp.sqrt(d2)
 
-            return _icp_scan(
+            res = _icp_scan(
                 config, sx, sm, sn, SE3.identity(), nn_fn, reduce
             )
+            return res.replace(transform=unshift @ res.transform @ shift)
 
         return jax.vmap(one_pair)(s_xyz, s_mask, s_n, t_xyz, t_mask, t_n)
 

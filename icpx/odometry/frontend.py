@@ -41,14 +41,24 @@ class OdometryConfig:
     keyframe_trans: float = 0.5  # spawn keyframe beyond this motion
     keyframe_rot: float = 0.15  # radians
     constant_velocity_init: bool = True
-    # Velocity-model smoothing factor (EMA in twist space; 1.0 = use the
-    # raw last step, the default). In locally-degenerate scenes the raw
-    # constant-velocity init forms a positive feedback loop with IRLS
-    # correspondence bias (measured runaway 1.27m max rel err -> 0.04m
-    # with smoothing on a smooth-ground world, NOTES.md); set ~0.5-0.7
-    # there. Smoothing lags aggressive motion (large steps/turns), so it
-    # is opt-in.
+    # Velocity-model smoothing (EMA in twist space). In locally-degenerate
+    # scenes the raw constant-velocity init forms a positive feedback loop
+    # with IRLS correspondence bias (measured runaway 1.27m max rel err ->
+    # 0.04m with fixed 0.7 smoothing on a smooth-ground world, NOTES.md),
+    # but a FIXED factor lags aggressive motion. Default = ADAPTIVE: the
+    # blend factor scales with the innovation magnitude
+    # ||log(velocity^-1 vel_raw)||, so smooth scenes (tiny innovations:
+    # exactly the runaway feedback regime) get heavy smoothing while
+    # genuine accelerations (large innovations) pass through un-lagged.
+    # Set velocity_damping < 1.0 for a fixed factor (overrides adaptive),
+    # or adaptive_velocity=False with damping 1.0 for the raw model.
     velocity_damping: float = 1.0
+    adaptive_velocity: bool = True
+    # innovation (trans[m] + rot_weight*rot[rad]) at which the adaptive
+    # blend reaches 1.0 (full adoption); below it, smoothing strengthens
+    # linearly down to velocity_damping_min.
+    innovation_scale: float = 0.5
+    velocity_damping_min: float = 0.25
     # "scan_to_keyframe": register against the latest keyframe cloud.
     # "scan_to_map": register against a maintained voxel map (keyframes
     # merge into it) — drifts less, costs a map insert per keyframe.
@@ -64,6 +74,16 @@ class OdometryConfig:
 
 
 @dataclasses.dataclass
+class MotionState:
+    """Frontend motion-model state (checkpointed for exact resume)."""
+
+    prev_rel: SE3  # kf_T_frame of the latest frame
+    velocity: SE3  # smoothed inter-frame twist
+    model_warm: bool
+    consecutive_rejects: int
+
+
+@dataclasses.dataclass
 class OdometryResult:
     poses: List[SE3]  # world_T_frame per input frame
     is_keyframe: List[bool]
@@ -71,6 +91,46 @@ class OdometryResult:
     # pose-graph edges between consecutive keyframes:
     edges: List[Tuple[int, int, SE3]]  # (frame_i, frame_j, i_T_j)
     keyframe_indices: List[int]
+    # motion-model state after the last frame (None for empty runs);
+    # feed back through run_odometry(resume=...) for exact continuation
+    motion: Optional[MotionState] = None
+
+
+def blend_velocity(
+    velocity: SE3,
+    vel_raw: SE3,
+    *,
+    damping: float = 1.0,
+    adaptive: bool = True,
+    innovation_scale: float = 0.5,
+    damping_min: float = 0.25,
+    rot_weight: float = 1.0,
+) -> SE3:
+    """Twist-space EMA of the constant-velocity model (jit-safe; shared by
+    the host frontend and the compiled whole-sequence path).
+
+    b = damping when a fixed factor is configured (< 1.0); otherwise, when
+    adaptive, b = clip(innovation / innovation_scale, damping_min, 1.0)
+    with innovation = ||delta_t|| + rot_weight * ||delta_omega|| of
+    log(velocity^-1 vel_raw). Zero steady-state lag for constant twist
+    (circle arcs included); a cold start or a genuine acceleration has a
+    large innovation and is adopted at b ~ 1 immediately.
+    """
+    if damping >= 1.0 and not adaptive:
+        return vel_raw
+    v_log = velocity.log()
+    r_log = vel_raw.log()
+    if damping < 1.0:
+        b = jnp.float32(damping)
+    else:
+        delta = (velocity.inverse() @ vel_raw).log()
+        innov = rot_weight * jnp.linalg.norm(
+            delta[..., :3]
+        ) + jnp.linalg.norm(delta[..., 3:])
+        b = jnp.clip(
+            innov / jnp.float32(innovation_scale), damping_min, 1.0
+        )
+    return SE3.exp((1.0 - b) * v_log + b * r_log)
 
 
 def _register_pair(
@@ -92,11 +152,20 @@ def _register_pair(
 
 
 def run_odometry(
-    frames: Sequence[PointCloud], config: OdometryConfig = OdometryConfig()
+    frames: Sequence[PointCloud],
+    config: OdometryConfig = OdometryConfig(),
+    resume: Optional["object"] = None,
 ) -> OdometryResult:
     """Sequential odometry over sensor-frame scans.
 
     Returns world poses with pose[0] = identity (world = first frame).
+
+    `resume` continues a previous run exactly (SURVEY §5.4 "resume
+    mid-sequence"): pass an `icpx.utils.checkpoint.OdometryCheckpoint`
+    saved from a prior (possibly killed) run together with the FULL frame
+    sequence; frames up to the checkpoint's `frame_index` are skipped and
+    the restored keyframe/motion state makes the continuation bit-match an
+    uninterrupted run.
     """
     if len(frames) == 0:
         return OdometryResult([], [], [], [], [])
@@ -129,8 +198,58 @@ def run_odometry(
     velocity = SE3.identity()
     model_warm = False  # motion model untrustworthy until one accept
     consecutive_rejects = 0
+    start = 1
 
-    for k in range(1, len(frames)):
+    if resume is not None:
+        ck = resume
+        if ck.frame_index >= len(frames):
+            raise ValueError(
+                f"checkpoint frame_index {ck.frame_index} beyond the "
+                f"{len(frames)} provided frames"
+            )
+        if ck.is_keyframe is None:
+            raise ValueError(
+                "checkpoint lacks resumable state (is_keyframe); it was "
+                "saved by an older version or hand-built — cannot resume"
+            )
+        poses = ck.poses()
+        is_kf = [bool(v) for v in ck.is_keyframe]
+        rmses = [float(v) for v in (ck.rmse if ck.rmse is not None else [])]
+        edges = [
+            (int(i), int(j), SE3(R=jnp.asarray(R), t=jnp.asarray(t)))
+            for (i, j, R, t) in ck.edges
+        ]
+        # the run that saved the checkpoint appended a closing edge for
+        # its final segment; drop it (it is re-closed below at the new end)
+        if (
+            edges
+            and edges[-1][1] == ck.frame_index
+            and ck.frame_index != ck.keyframe_index
+        ):
+            edges.pop()
+        kf_index = ck.keyframe_index
+        kf_indices = [i for i, v in enumerate(is_kf) if v] or [0]
+        kf_cloud = frames[kf_index]
+        kf_pose = poses[kf_index]
+        if ck.motion_R is not None:
+            prev_rel = SE3(
+                R=jnp.asarray(ck.motion_R[0]), t=jnp.asarray(ck.motion_t[0])
+            )
+            velocity = SE3(
+                R=jnp.asarray(ck.motion_R[1]), t=jnp.asarray(ck.motion_t[1])
+            )
+            model_warm = bool(ck.model_warm)
+            consecutive_rejects = int(ck.consecutive_rejects)
+        else:
+            prev_rel = kf_pose.inverse() @ poses[ck.frame_index]
+        if use_map:
+            # rebuild the map from the checkpointed keyframes
+            vmap = VoxelMap.create(config.map_capacity, config.map_cell)
+            for i in kf_indices:
+                vmap = insert_scan(vmap, frames[i], poses[i])
+        start = ck.frame_index + 1
+
+    for k in range(start, len(frames)):
         init = prev_rel @ velocity if config.constant_velocity_init else prev_rel
         if use_map:
             # target = the world-frame map; transform is world_T_frame
@@ -177,15 +296,14 @@ def run_odometry(
             model_warm = True
         poses.append(pose)
         vel_raw = prev_rel.inverse() @ rel
-        if config.velocity_damping < 1.0:
-            # EMA in twist space: zero steady-state lag for constant
-            # motion, attenuates the registration-error feedback loop
-            b = config.velocity_damping
-            velocity = SE3.exp(
-                (1.0 - b) * velocity.log() + b * vel_raw.log()
-            )
-        else:
-            velocity = vel_raw
+        velocity = blend_velocity(
+            velocity,
+            vel_raw,
+            damping=config.velocity_damping,
+            adaptive=config.adaptive_velocity,
+            innovation_scale=config.innovation_scale,
+            damping_min=config.velocity_damping_min,
+        )
 
         trans = float(jnp.linalg.norm(rel.t))
         rot = float(rel.rotation_angle())
@@ -217,4 +335,10 @@ def run_odometry(
         rmse=rmses,
         edges=edges,
         keyframe_indices=kf_indices,
+        motion=MotionState(
+            prev_rel=prev_rel,
+            velocity=velocity,
+            model_warm=model_warm,
+            consecutive_rejects=consecutive_rejects,
+        ),
     )

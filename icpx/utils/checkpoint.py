@@ -60,17 +60,73 @@ def load_checkpoint(path, like) -> Any:
 
 @dataclasses.dataclass
 class OdometryCheckpoint:
-    """Resumable odometry state (host-side container)."""
+    """Resumable odometry state (host-side container).
+
+    The optional per-frame arrays and motion-model state (`is_keyframe`,
+    `rmse`, `motion_R/motion_t` = stacked [prev_rel, velocity],
+    `model_warm`, `consecutive_rejects`) make `run_odometry(resume=...)`
+    continue bit-exactly; older checkpoints without them still load (with
+    those fields None) for pose/edge inspection.
+    """
 
     frame_index: int
     poses_R: np.ndarray  # (M, 3, 3)
     poses_t: np.ndarray  # (M, 3)
     keyframe_index: int
     edges: List[Tuple[int, int, np.ndarray, np.ndarray]]  # (i, j, R, t)
+    is_keyframe: Optional[np.ndarray] = None  # (M,) bool
+    rmse: Optional[np.ndarray] = None  # (M,) float32
+    motion_R: Optional[np.ndarray] = None  # (2, 3, 3): prev_rel, velocity
+    motion_t: Optional[np.ndarray] = None  # (2, 3)
+    model_warm: bool = False
+    consecutive_rejects: int = 0
+
+    @classmethod
+    def from_result(cls, result) -> "OdometryCheckpoint":
+        """Build from a `frontend.OdometryResult` (full resumable state)."""
+        m = result.motion
+        return cls(
+            frame_index=len(result.poses) - 1,
+            poses_R=np.stack([np.asarray(p.R) for p in result.poses]),
+            poses_t=np.stack([np.asarray(p.t) for p in result.poses]),
+            keyframe_index=result.keyframe_indices[-1],
+            edges=[
+                (i, j, np.asarray(T.R), np.asarray(T.t))
+                for (i, j, T) in result.edges
+            ],
+            is_keyframe=np.asarray(result.is_keyframe, bool),
+            rmse=np.asarray(result.rmse, np.float32),
+            motion_R=(
+                np.stack([np.asarray(m.prev_rel.R), np.asarray(m.velocity.R)])
+                if m is not None
+                else None
+            ),
+            motion_t=(
+                np.stack([np.asarray(m.prev_rel.t), np.asarray(m.velocity.t)])
+                if m is not None
+                else None
+            ),
+            model_warm=bool(m.model_warm) if m is not None else False,
+            consecutive_rejects=(
+                int(m.consecutive_rejects) if m is not None else 0
+            ),
+        )
 
     def save(self, path) -> None:
         path = Path(path)
         path.parent.mkdir(parents=True, exist_ok=True)
+        extra = {}
+        if self.is_keyframe is not None:
+            extra["is_keyframe"] = np.asarray(self.is_keyframe, bool)
+        if self.rmse is not None:
+            extra["rmse"] = np.asarray(self.rmse, np.float32)
+        if self.motion_R is not None:
+            extra["motion_R"] = self.motion_R
+            extra["motion_t"] = self.motion_t
+            extra["model_warm"] = np.asarray(self.model_warm)
+            extra["consecutive_rejects"] = np.asarray(
+                self.consecutive_rejects, np.int32
+            )
         np.savez_compressed(
             path,
             frame_index=self.frame_index,
@@ -89,6 +145,7 @@ class OdometryCheckpoint:
                 if self.edges
                 else np.zeros((0, 3), np.float32)
             ),
+            **extra,
         )
 
     @classmethod
@@ -106,6 +163,18 @@ class OdometryCheckpoint:
                 poses_t=z["poses_t"],
                 keyframe_index=int(z["keyframe_index"]),
                 edges=edges,
+                is_keyframe=z["is_keyframe"] if "is_keyframe" in z else None,
+                rmse=z["rmse"] if "rmse" in z else None,
+                motion_R=z["motion_R"] if "motion_R" in z else None,
+                motion_t=z["motion_t"] if "motion_t" in z else None,
+                model_warm=(
+                    bool(z["model_warm"]) if "model_warm" in z else False
+                ),
+                consecutive_rejects=(
+                    int(z["consecutive_rejects"])
+                    if "consecutive_rejects" in z
+                    else 0
+                ),
             )
 
     def poses(self) -> List[SE3]:

@@ -120,3 +120,102 @@ def test_ate_invariance(key):
     offset = SE3.random(k2)
     est = [offset @ p for p in gt]
     assert ate_rmse(est, gt) < 1e-4
+
+def test_smooth_ground_runaway_defaults_bounded():
+    """VERDICT round-1 item 6: the degenerate smooth-ground world (NOTES
+    round-1: registration error feeds the constant-velocity init, IRLS
+    bias follows it, error doubles per frame) must stay bounded with the
+    DEFAULT mitigation config. The adaptive innovation-scaled velocity
+    EMA (on by default) breaks the feedback loop; measured here: raw
+    model max rel err ~10 m (divergence), adaptive ~0.42 m (two frames
+    that genuinely see no structure), mean ~0.07 m."""
+    world = make_world(
+        n_points=60000, extent=40.0, seed=4, n_posts=3, ground_frac=0.95
+    )
+    gt = make_trajectory(30, speed=1.0, turn=0.02)
+    frames = simulate_scans(
+        world, gt, max_range=18.0, points_per_scan=2048, noise=0.02, seed=5
+    )
+    gt0 = [gt[0].inverse() @ g for g in gt]
+    icp = ICPConfig(
+        objective="symmetric",
+        max_iters=15,
+        diff_threshold=0.0,
+        rmse_change_tol=1e-6,
+        robust="huber",
+        max_corr_dist=3.0,
+    )
+
+    def rel_errs(poses):
+        errs = []
+        for k in range(1, len(poses)):
+            est_rel = poses[k - 1].inverse() @ poses[k]
+            gt_rel = gt0[k - 1].inverse() @ gt0[k]
+            errs.append(float(est_rel.distance_to(gt_rel)[1]))
+        return errs
+
+    # default config (adaptive velocity smoothing ON) stays bounded
+    res = run_odometry(
+        frames, OdometryConfig(icp=icp, keyframe_trans=1.5, keyframe_rot=0.3)
+    )
+    errs = rel_errs(res.poses)
+    assert max(errs) < 0.6, f"max rel err {max(errs):.3f}"
+    assert float(np.mean(errs)) < 0.15, f"mean rel err {np.mean(errs):.3f}"
+
+    # the raw constant-velocity model diverges on the same data — the
+    # scenario actually exercises the failure mode being mitigated
+    res_raw = run_odometry(
+        frames,
+        OdometryConfig(
+            icp=icp,
+            keyframe_trans=1.5,
+            keyframe_rot=0.3,
+            adaptive_velocity=False,
+        ),
+    )
+    assert max(rel_errs(res_raw.poses)) > 2.0
+
+
+def test_resume_matches_uninterrupted(sim_sequence):
+    """SURVEY §5.4 resume-mid-sequence: a checkpoint taken mid-run plus
+    the remaining frames reproduces the uninterrupted trajectory and edge
+    list exactly (motion-model state is checkpointed, not re-derived)."""
+    from icpx.utils.checkpoint import OdometryCheckpoint
+
+    frames, _ = sim_sequence
+    cfg = OdometryConfig(
+        icp=ICPConfig(
+            objective="symmetric",
+            max_iters=12,
+            diff_threshold=0.0,
+            rmse_change_tol=1e-6,
+            robust="huber",
+            max_corr_dist=2.0,
+        ),
+        keyframe_trans=1.0,
+        keyframe_rot=0.2,
+    )
+    full = run_odometry(frames, cfg)
+
+    cut = 6
+    part = run_odometry(frames[:cut], cfg)
+    ck = OdometryCheckpoint.from_result(part)
+    resumed = run_odometry(frames, cfg, resume=ck)
+
+    assert len(resumed.poses) == len(full.poses)
+    for pf, pr in zip(full.poses, resumed.poses):
+        # matrix-entry comparison: distance_to's arccos is ill-conditioned
+        # near identity and reports ~5e-4 rad for bit-identical rotations
+        np.testing.assert_allclose(np.asarray(pf.R), np.asarray(pr.R),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(pf.t), np.asarray(pr.t),
+                                   atol=1e-6)
+    assert resumed.is_keyframe == full.is_keyframe
+    assert [(i, j) for (i, j, _) in resumed.edges] == [
+        (i, j) for (i, j, _) in full.edges
+    ]
+    for (_, _, Tr), (_, _, Tf) in zip(resumed.edges, full.edges):
+        np.testing.assert_allclose(np.asarray(Tr.R), np.asarray(Tf.R),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(Tr.t), np.asarray(Tf.t),
+                                   atol=1e-6)
