@@ -50,6 +50,14 @@ class PointCloud:
     normals: Optional[jax.Array] = None
     # optional (N, 3, 3) regularized neighborhood covariances (GICP)
     covs: Optional[jax.Array] = None
+    # optional (N, D) float32 per-point payload channels (intensity /
+    # reflectance, packed rgb, labels, curvature, ring index, ...). They
+    # ride along rigid transforms unchanged; `feat_names` (static pytree
+    # metadata) names the columns.
+    feats: Optional[jax.Array] = None
+    feat_names: Optional[tuple] = struct.field(
+        pytree_node=False, default=None
+    )
 
     # ---- construction ------------------------------------------------------
 
@@ -61,6 +69,8 @@ class PointCloud:
         *,
         capacity: Optional[int] = None,
         pad_multiple: int = PAD_MULTIPLE,
+        feats=None,
+        feat_names: Optional[tuple] = None,
     ) -> "PointCloud":
         """Build a padded cloud from an (n, 3) array (numpy or jax)."""
         xyz = jnp.asarray(xyz, dtype=jnp.float32)
@@ -85,7 +95,31 @@ class PointCloud:
             nrm_p = jnp.concatenate(
                 [normals, jnp.zeros((pad, 3), dtype=jnp.float32)], axis=0
             )
-        return cls(xyz=xyz_p, mask=mask, normals=nrm_p)
+        feats_p = None
+        if feats is not None:
+            feats = jnp.asarray(feats, dtype=jnp.float32)
+            if feats.ndim == 1:
+                feats = feats[:, None]
+            if feats.shape[0] != n:
+                raise ValueError(
+                    f"feats must have {n} rows, got {feats.shape}"
+                )
+            if feat_names is not None and len(feat_names) != feats.shape[1]:
+                raise ValueError(
+                    f"{len(feat_names)} feat_names for {feats.shape[1]} "
+                    "feature columns"
+                )
+            feats_p = jnp.concatenate(
+                [feats, jnp.zeros((pad, feats.shape[1]), jnp.float32)],
+                axis=0,
+            )
+        return cls(
+            xyz=xyz_p,
+            mask=mask,
+            normals=nrm_p,
+            feats=feats_p,
+            feat_names=tuple(feat_names) if feat_names else None,
+        )
 
     # ---- properties --------------------------------------------------------
 
@@ -132,7 +166,23 @@ class PointCloud:
                 jnp.eye(3, dtype=jnp.float32), (extra, 3, 3)
             )
             covs = jnp.concatenate([self.covs, eye], axis=0)
-        return PointCloud(xyz=xyz, mask=mask, normals=normals, covs=covs)
+        feats = None
+        if self.feats is not None:
+            feats = jnp.concatenate(
+                [
+                    self.feats,
+                    jnp.zeros((extra, self.feats.shape[1]), jnp.float32),
+                ],
+                axis=0,
+            )
+        return PointCloud(
+            xyz=xyz,
+            mask=mask,
+            normals=normals,
+            covs=covs,
+            feats=feats,
+            feat_names=self.feat_names,
+        )
 
     def centroid(self) -> jax.Array:
         """Masked mean of valid points, (3,)."""
@@ -161,6 +211,22 @@ class PointCloud:
         mask = np.asarray(self.mask)
         return np.asarray(self.normals)[mask]
 
+    def feat(self, name: str) -> jax.Array:
+        """One named payload column, (N,) in padded layout (jittable)."""
+        if self.feats is None or self.feat_names is None:
+            raise KeyError(f"cloud has no payload features (want {name!r})")
+        if name not in self.feat_names:
+            raise KeyError(
+                f"no feature {name!r}; have {list(self.feat_names)}"
+            )
+        return self.feats[:, self.feat_names.index(name)]
+
+    def feats_to_numpy(self) -> Optional[np.ndarray]:
+        if self.feats is None:
+            return None
+        mask = np.asarray(self.mask)
+        return np.asarray(self.feats)[mask]
+
 
 def concat(a: PointCloud, b: PointCloud) -> PointCloud:
     """Concatenate two clouds (capacity adds; masks preserved)."""
@@ -168,6 +234,8 @@ def concat(a: PointCloud, b: PointCloud) -> PointCloud:
         raise ValueError("both clouds must agree on having normals")
     if (a.covs is None) != (b.covs is None):
         raise ValueError("both clouds must agree on having covariances")
+    if (a.feats is None) != (b.feats is None) or a.feat_names != b.feat_names:
+        raise ValueError("both clouds must agree on payload features")
     return PointCloud(
         xyz=jnp.concatenate([a.xyz, b.xyz], axis=0),
         mask=jnp.concatenate([a.mask, b.mask], axis=0),
@@ -181,4 +249,10 @@ def concat(a: PointCloud, b: PointCloud) -> PointCloud:
             if a.covs is None
             else jnp.concatenate([a.covs, b.covs], axis=0)
         ),
+        feats=(
+            None
+            if a.feats is None
+            else jnp.concatenate([a.feats, b.feats], axis=0)
+        ),
+        feat_names=a.feat_names,
     )

@@ -21,41 +21,89 @@ from icpx.io.ply import read_ply, write_ply
 from icpx.io.xyz import read_xyz_txt, write_xyz_txt
 
 
+# Scalar PCD/PLY fields carried through to PointCloud.feats (in file
+# order); geometry fields and padding are handled separately.
+_PAYLOAD_FIELDS = (
+    "intensity", "reflectance", "rgb", "rgba", "label", "curvature",
+    "ring", "time", "t", "red", "green", "blue", "alpha",
+)
+
+
+def _collect_feats(rec):
+    names, cols = [], []
+    for name in rec:
+        if name in ("xyz", "normals"):
+            continue
+        base = name.lower()
+        if base in ("x", "y", "z", "normal_x", "normal_y", "normal_z",
+                    "nx", "ny", "nz", "_", "padding"):
+            continue
+        col = np.asarray(rec[name])
+        if col.ndim != 1 or base not in _PAYLOAD_FIELDS:
+            continue
+        names.append(base)
+        cols.append(col.astype(np.float32))
+    if not cols:
+        return None, None
+    return np.stack(cols, axis=1), tuple(names)
+
+
 def load_cloud(path, *, capacity: Optional[int] = None) -> PointCloud:
-    """Load a cloud from .pcd/.ply/.txt/.xyz/.bin (KITTI) by extension."""
+    """Load a cloud from .pcd/.ply/.txt/.xyz/.bin (KITTI) by extension.
+
+    Scalar payload fields (intensity / reflectance / rgb / label /
+    curvature / ring / time) become `PointCloud.feats` columns; they ride
+    through registration untouched and `save_cloud` writes them back.
+    """
     path = Path(path)
     if not path.exists():
         raise FileNotFoundError(f"cloud file not found: {path}")
     ext = path.suffix.lower()
     normals = None
+    feats = feat_names = None
     if ext == ".pcd":
         rec = read_pcd(path)
         xyz = rec["xyz"]
         normals = rec.get("normals")
         if normals is not None and not np.any(normals):
             normals = None  # all-zero normals (like cat_out.pcd) = none
+        feats, feat_names = _collect_feats(rec)
     elif ext == ".ply":
         rec = read_ply(path)
         xyz = rec["xyz"]
         normals = rec.get("normals")
+        feats, feat_names = _collect_feats(rec)
     elif ext in (".txt", ".xyz"):
         xyz = read_xyz_txt(path)
     elif ext == ".bin":  # KITTI velodyne: float32 x,y,z,reflectance
         raw = np.fromfile(path, dtype=np.float32).reshape(-1, 4)
         xyz = raw[:, :3]
+        feats, feat_names = raw[:, 3:4].copy(), ("reflectance",)
     else:
         raise ValueError(f"unsupported cloud extension: {ext}")
-    return PointCloud.create(xyz, normals=normals, capacity=capacity)
+    return PointCloud.create(
+        xyz, normals=normals, capacity=capacity, feats=feats,
+        feat_names=feat_names,
+    )
 
 
 def save_cloud(path, cloud: PointCloud, *, binary: bool = False) -> None:
-    """Save valid points of a cloud to .pcd/.ply/.txt by extension."""
+    """Save valid points of a cloud to .pcd/.ply/.txt by extension
+    (payload feature columns included for .pcd)."""
     path = Path(path)
     xyz = cloud.to_numpy()
     normals = cloud.normals_to_numpy()
+    feats = cloud.feats_to_numpy()
+    extra = None
+    if feats is not None and cloud.feat_names:
+        extra = {
+            name: feats[:, i] for i, name in enumerate(cloud.feat_names)
+        }
     ext = path.suffix.lower()
     if ext == ".pcd":
-        write_pcd(path, xyz, normals=normals, binary=binary)
+        write_pcd(
+            path, xyz, normals=normals, binary=binary, extra_fields=extra
+        )
     elif ext == ".ply":
         write_ply(path, xyz, normals=normals, binary=binary)
     elif ext in (".txt", ".xyz"):

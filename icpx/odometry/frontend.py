@@ -71,6 +71,14 @@ class OdometryConfig:
     # frame dead-reckons on the motion model instead. <= 0 disables.
     max_correction_trans: float = 1.0
     max_correction_rot: float = 0.5
+    # Incremental pose-graph backend over keyframes: "sliding_window"
+    # maintains a SlidingWindowBackend (posegraph.py) during the run —
+    # each spawned keyframe and its measured edge enter the window, the
+    # window is optimized, nodes older than `window` are Schur-
+    # marginalized into a dense prior, and the refined poses feed back
+    # into the frontend's keyframe chain. "none" = raw odometry chain.
+    backend: str = "none"
+    window: int = 10
 
 
 @dataclasses.dataclass
@@ -190,6 +198,15 @@ def run_odometry(
         vmap = VoxelMap.create(config.map_capacity, config.map_cell)
         vmap = insert_scan(vmap, frames[0], SE3.identity())
 
+    win = None
+    if config.backend == "sliding_window":
+        from icpx.odometry.posegraph import SlidingWindowBackend
+
+        win = SlidingWindowBackend(window=config.window)
+        win.add_keyframe(SE3.identity())
+    elif config.backend != "none":
+        raise ValueError(f"unknown backend {config.backend!r}")
+
     kf_cloud = frames[0]
     kf_pose = SE3.identity()
     kf_index = 0
@@ -247,6 +264,18 @@ def run_odometry(
             vmap = VoxelMap.create(config.map_capacity, config.map_cell)
             for i in kf_indices:
                 vmap = insert_scan(vmap, frames[i], poses[i])
+        if win is not None:
+            # rebuild the window from checkpointed keyframes + edges (the
+            # marginalization prior itself is not checkpointed; nodes
+            # beyond the window re-marginalize from the saved estimates)
+            win.poses = []
+            for fi in kf_indices:
+                win.add_keyframe(poses[fi])
+            remap = {f: i for i, f in enumerate(kf_indices)}
+            for (i, j, T) in edges:
+                if i in remap and j in remap:
+                    win.add_edge(remap[i], remap[j], T)
+            win.marginalize_to_window()
         start = ck.frame_index + 1
 
     for k in range(start, len(frames)):
@@ -319,6 +348,18 @@ def run_odometry(
             kf_indices.append(k)
             is_kf.append(True)
             prev_rel = SE3.identity()
+            if win is not None:
+                node = win.add_keyframe(pose)
+                win.add_edge(node - 1, node, rel)
+                win.step()  # optimize active window + marginalize
+                # adopt refined keyframe poses (active + frozen) so the
+                # chain continues from the optimized estimate; poses of
+                # non-keyframe frames keep their original keyframe-
+                # relative placement
+                for off in range(len(win.poses)):
+                    poses[kf_indices[off]] = win.poses[off]
+                kf_pose = win.poses[-1]
+                pose = kf_pose
             if use_map:
                 vmap = insert_scan(vmap, frames[k], pose)
         else:

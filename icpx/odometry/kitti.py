@@ -30,24 +30,46 @@ def load_kitti_scan(path) -> np.ndarray:
     return arr.reshape(-1, 4)[:, :3].copy()
 
 
+def load_kitti_scan_xyzi(path) -> np.ndarray:
+    """One velodyne .bin -> (N, 4) float32 x,y,z,reflectance."""
+    arr = np.fromfile(Path(path), dtype=np.float32)
+    return arr.reshape(-1, 4).copy()
+
+
 def load_kitti_sequence(
     velodyne_dir,
     *,
     max_frames: Optional[int] = None,
     capacity: Optional[int] = None,
     subsample: int = 1,
+    with_intensity: bool = False,
 ) -> List[PointCloud]:
     """Load scans from a KITTI velodyne directory into same-capacity
-    clouds (shared capacity -> one compiled registration executable)."""
+    clouds (shared capacity -> one compiled registration executable).
+
+    `with_intensity` keeps the velodyne reflectance channel as the
+    clouds' `feats` ("reflectance") payload column.
+    """
     files = sorted(Path(velodyne_dir).glob("*.bin"))
     if max_frames is not None:
         files = files[:max_frames]
-    scans = [load_kitti_scan(f)[::subsample] for f in files]
+    loader = load_kitti_scan_xyzi if with_intensity else load_kitti_scan
+    scans = [loader(f)[::subsample] for f in files]
     if capacity is None:
         cap = max(s.shape[0] for s in scans)
         cap = ((cap + 127) // 128) * 128
     else:
         cap = capacity
+    if with_intensity:
+        return [
+            PointCloud.create(
+                s[:cap, :3],
+                capacity=cap,
+                feats=s[:cap, 3:4],
+                feat_names=("reflectance",),
+            )
+            for s in scans
+        ]
     return [PointCloud.create(s[:cap], capacity=cap) for s in scans]
 
 

