@@ -23,7 +23,11 @@ NORTH_STAR_PER_CHIP = 100e6 / 16.0
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=65536, help="points per cloud")
+    # Flagship config: 1M-point pair (the scale this framework exists
+    # for; smaller clouds are dominated by fixed index-build/dispatch
+    # overheads — use --n 65536 for the round-1 comparison point).
+    ap.add_argument("--n", type=int, default=1048576,
+                    help="points per cloud")
     ap.add_argument("--iters", type=int, default=10, help="ICP iterations")
     ap.add_argument("--reps", type=int, default=5, help="timed repetitions")
     ap.add_argument("--objective", default="symmetric")

@@ -19,9 +19,14 @@ point to the device owning its Morton range — the MoE dispatch pattern:
      to the owners, which unpack into original point order.
 
 Boundary effect: a query near a block edge only sees its own block's
-points. Routing to the 2 nearest blocks (`n_route=2`) covers the
-1D-Morton neighborhood; residual misses are genuine-but-worse matches,
-handled like block-NN misses.
+points. Extra routing hops (`n_route` > 1) send each point to its
+SPATIAL neighbor blocks: the point is perturbed by +-`route_radius`
+along each axis, the perturbed Morton keys map to blocks, and the first
+distinct non-primary blocks get the remaining hops. (Round-1 used
+Morton-ADJACENT ranges, which are not spatially adjacent across octant
+seams of the space-filling curve — VERDICT weak #7; the Morton mode
+remains as `route_mode="morton"`.) Residual misses are genuine-but-worse
+matches, handled like block-NN misses.
 """
 
 from __future__ import annotations
@@ -115,11 +120,18 @@ def routed_map_nn(
     n_route: int = 2,
     tile_q: int = 512,
     tile_r: int = 2048,
+    route_mode: str = "spatial",
+    route_radius: Optional[float] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """All-to-all routed NN (call inside `shard_map` over `axis_name`).
 
     Returns (sqdist (Nq_local,), matched xyz (Nq_local, 3), matched
     normals (Nq_local, 3)); inf distance for dropped/missed points.
+
+    `route_mode="spatial"` (default) sends extra hops to the blocks the
+    point's +-`route_radius` axis perturbations land in (true spatial
+    neighbors); "morton" uses Morton-adjacent ranges (round-1 behavior).
+    `route_radius` defaults to 4% of the map's mean extent.
     """
     n_dev = lax.axis_size(axis_name)
     nq = query.shape[0]
@@ -129,17 +141,48 @@ def routed_map_nn(
     keys = morton_keys(query, lo, inv_extent)  # (Nq,)
     # block of each point: count of boundaries[1..B-1] <= key
     inner = boundaries[1:-1]  # (B-1,)
-    primary = jnp.sum(
-        (keys[:, None] >= inner[None, :]).astype(jnp.int32), axis=1
-    )  # (Nq,) in [0, B)
+
+    def block_of(k):
+        return jnp.sum(
+            (k[:, None] >= inner[None, :]).astype(jnp.int32), axis=1
+        )  # in [0, B)
+
+    primary = block_of(keys)
+
+    dests = [primary]
+    if route_mode == "spatial" and n_route > 1:
+        if route_radius is None:
+            r = 0.04 * jnp.mean(1.0 / inv_extent)
+        else:
+            r = jnp.float32(route_radius)
+        # blocks of the 6 axis-perturbed positions, in fixed order
+        nbr = []
+        for a in range(3):
+            for sgn in (1.0, -1.0):
+                qp = query.at[:, a].add(sgn * r)
+                nbr.append(block_of(morton_keys(qp, lo, inv_extent)))
+        nbr = jnp.stack(nbr, axis=1)  # (Nq, 6)
+        for _ in range(n_route - 1):
+            taken = jnp.stack(dests, axis=1)  # (Nq, H)
+            is_new = jnp.all(
+                nbr[:, :, None] != taken[:, None, :], axis=2
+            )  # (Nq, 6)
+            first = jnp.argmax(is_new, axis=1)
+            any_new = jnp.any(is_new, axis=1)
+            pick = jnp.take_along_axis(
+                nbr, first[:, None], axis=1
+            )[:, 0]
+            # no distinct spatial neighbor -> resend to primary (harmless
+            # duplicate answer; keeps shapes static)
+            dests.append(jnp.where(any_new, pick, primary))
+    else:
+        for hop in (1, -1, 2, -2)[: max(n_route - 1, 0)]:
+            dests.append(jnp.clip(primary + hop, 0, n_dev - 1))
 
     d_best = jnp.full((nq,), jnp.inf, jnp.float32)
     pl_best = jnp.zeros((nq, 6), jnp.float32)
 
-    offsets = (0, 1, -1, 2, -2)[:n_route]
-    for hop in offsets:
-        # route to the primary block, then Morton-adjacent neighbors
-        dest = jnp.clip(primary + hop, 0, n_dev - 1)
+    for dest in dests:
         # pack: sort by dest, rank within dest, scatter into (B, cap, 3)
         order = jnp.argsort(dest, stable=True)
         sd = dest[order]

@@ -324,6 +324,7 @@ def block_nn(
     k_tiles: int = 8,
     max_chunk: int = 32768,
     return_pos: bool = False,
+    cand_tiles: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """NN of spatially-coherent query tiles (Tq, Sq, 3) into the index.
 
@@ -337,6 +338,10 @@ def block_nn(
     and pad matches are detected by score magnitude (sentinel coords put
     them >= ~1e16) rather than an order lookup.
 
+    `cand_tiles` (Tq, K) overrides candidate selection — callers whose
+    queries barely move between calls (ICP refine iterations after the
+    coarse phase) can rank once and amortize the selection cost.
+
     Above `max_chunk` query tiles, processing runs in chunks (lax.map) so
     the per-fold score tensor stays bounded (~chunk*Sq*S*4 bytes): 10M-pt
     clouds would otherwise need a >10 GB intermediate.
@@ -344,16 +349,32 @@ def block_nn(
     tq, sq, _ = query_tiles.shape
     if tq > max_chunk:
         qt, n_chunks, chunk = _pad_chunks(query_tiles, max_chunk)
-        d, i = jax.lax.map(
-            lambda q: block_nn(
-                q, index, k_tiles=k_tiles, max_chunk=max_chunk,
-                return_pos=return_pos,
-            ),
-            qt,
-        )
+        if cand_tiles is None:
+            d, i = jax.lax.map(
+                lambda q: block_nn(
+                    q, index, k_tiles=k_tiles, max_chunk=max_chunk,
+                    return_pos=return_pos,
+                ),
+                qt,
+            )
+        else:
+            pad_c = qt.shape[0] * qt.shape[1] - tq
+            cpad = jnp.concatenate(
+                [cand_tiles]
+                + ([jnp.zeros((pad_c, cand_tiles.shape[1]), jnp.int32)]
+                   if pad_c else [])
+            ).reshape(qt.shape[0], qt.shape[1], -1)
+            d, i = jax.lax.map(
+                lambda qc: block_nn(
+                    qc[0], index, k_tiles=k_tiles, max_chunk=max_chunk,
+                    return_pos=return_pos, cand_tiles=qc[1],
+                ),
+                (qt, cpad),
+            )
         return d.reshape(-1)[: tq * sq], i.reshape(-1)[: tq * sq]
     s = index.tile_size
-    cand_tiles, _ = _candidate_tiles(query_tiles, index, k_tiles)
+    if cand_tiles is None:
+        cand_tiles, _ = _candidate_tiles(query_tiles, index, k_tiles)
 
     # Augmented query: [-2x, -2y, -2z, 1] so the MXU emits the biased
     # score ||r||^2 - 2 q.r (see knn_pallas.py).

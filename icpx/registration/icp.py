@@ -88,6 +88,10 @@ class ICPConfig:
     # ~4x cheaper NN while the motion is still large. 0 disables.
     coarse_iters: int = 2
     coarse_stride: int = 4
+    # Rank refine-phase candidate tiles ONCE at the coarse-aligned
+    # positions instead of every iteration (safe: post-coarse motion is
+    # well under a tile extent; selection is ~15% of a 1M registration).
+    freeze_refine_candidates: bool = True
     block_auto_threshold: int = 32768
     # Tile partitioner: "kd" (median-cut, compact boxes — measured 0.01%
     # NN miss at the defaults vs ~5% for Morton ranges on uniform volumes)
@@ -450,13 +454,17 @@ def _register_jit(
             tgt_n_sorted = tile_payload(tgt_index, tgt_n).reshape(
                 -1, tgt_n.shape[1]
             )
+        # one fused (N, 3+D) payload table: a single row gather per
+        # iteration instead of two (q then n_q) — measured 418 -> 263 ms
+        # for the gathers at 8M points
+        tgt_pl = jnp.concatenate([tgt_sorted, tgt_n_sorted], axis=1)
 
         sq = config.block_q_tile
         tq = src_xyz.shape[0] // sq
         fused = config.resolve_fused()
         group = config.block_group if tq % config.block_group == 0 else 1
 
-        def make_nn(n_tiles, tile_rows, k_tiles):
+        def make_nn(n_tiles, tile_rows, k_tiles, cand=None):
             def nn_fn(p):
                 # positions + two sorted-layout row gathers beat in-fold
                 # payload selection by ~4x at 1M points (measured) —
@@ -476,12 +484,14 @@ def _register_jit(
                     )
                 else:
                     d2, pos = block_nn(
-                        ptiles, tgt_index, k_tiles=k_tiles, return_pos=True
+                        ptiles, tgt_index, k_tiles=k_tiles,
+                        return_pos=True, cand_tiles=cand,
                     )
                 # pad/miss rows carry d2=inf (gated by the validity mask
                 # downstream); their PAD_COORD coords are finite, so
                 # zero-weight rows cannot produce NaNs in the solve.
-                return tgt_sorted[pos], tgt_n_sorted[pos], jnp.sqrt(d2)
+                pl = tgt_pl[pos]
+                return pl[:, :3], pl[:, 3:], jnp.sqrt(d2)
 
             return nn_fn
 
@@ -526,9 +536,22 @@ def _register_jit(
             k_ref = config.block_k
             prev_rmse0 = None
 
+        # Freeze refine-phase candidate tiles at the coarse-aligned
+        # positions: after the coarse phase the residual motion is well
+        # under a tile extent, so the per-iteration candidate ranking
+        # (~15% of a 1M registration) is paid once instead of per
+        # iteration. Only safe when a coarse phase ran (refine starts
+        # near-aligned); the fused kernel selects internally.
+        cand_ref = None
+        if coarse and not fused and config.freeze_refine_candidates:
+            from icpx.kernels.blocknn import _candidate_tiles
+
+            p0 = init.apply(src_xyz).reshape(tq, sq, 3)
+            cand_ref = _candidate_tiles(p0, tgt_index, k_ref)[0]
+
         res = _icp_scan(
             config, src_xyz, src_mask, src_n_s, init,
-            make_nn(tq, sq, k_ref),
+            make_nn(tq, sq, k_ref, cand=cand_ref),
             aux_rot=aux_rot,
             prev_rmse0=prev_rmse0,
         )
