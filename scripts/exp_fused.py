@@ -1,0 +1,81 @@
+"""Full-pipeline A/B of the fused Pallas kernels (dev tool).
+
+Round-1 standalone timings used block_until_ready, which returns EARLY
+over the axon relay (see exp_build history) — re-judge the fused NN fold
+and fused radius moments by their effect on the complete registration
+wall time (reliable: the result is fetched).
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import icpx.kernels.blocknn as bnn
+import icpx.kernels.blocknn_pallas as bp
+from icpx.cloud import PointCloud
+from icpx.geometry.se3 import SE3
+from icpx.geometry.transforms import make_rigid_perturbation
+from icpx.io.loaders import synthetic_surface
+from icpx.registration.icp import ICPConfig, _register_jit
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 20
+
+xyz = synthetic_surface(N, seed=0)
+src = PointCloud.create(xyz, capacity=N)
+gt = make_rigid_perturbation(angle=0.2, translation=(0.12, -0.06, 0.03))
+rng = np.random.default_rng(1)
+tgt_np = np.asarray(gt.apply(src.xyz))[:N]
+tgt = PointCloud.create(tgt_np[rng.permutation(N)], capacity=N)
+
+jnp_moments = bnn.block_radius_moments
+
+
+def fused_moments(query_tiles, index, radius, *, k_tiles=8, max_chunk=8192):
+    return bp.block_radius_moments_fused4(
+        query_tiles, index, radius, k_tiles=k_tiles, group=1,
+        u_max=max(k_tiles + 2, 6),
+    )
+
+
+for name, fused_nn, fused_mom in [
+    ("baseline (XLA fold + jnp moments)", "off", False),
+    ("fused NN fold", "on", False),
+    ("fused moments", "off", True),
+    ("both fused", "on", True),
+]:
+    bnn.block_radius_moments = fused_moments if fused_mom else jnp_moments
+    cfg = ICPConfig(objective="symmetric", max_iters=10, diff_threshold=0.0,
+                    rmse_change_tol=1e-6, block_fused=fused_nn)
+
+    def run(sx, sm, tx, tm, eps, cfg=cfg):
+        s = PointCloud(xyz=sx + eps, mask=sm)
+        t = PointCloud(xyz=tx, mask=tm)
+        res = _register_jit(s, t, SE3.identity(), cfg,
+                            normals_for=("src", "tgt"))
+        return res.transform.R, res.transform.t, res.final_rmse, res.iters
+
+    try:
+        run_j = jax.jit(run)
+        out = run_j(src.xyz, src.mask, tgt.xyz, tgt.mask, jnp.float32(0.0))
+        jax.block_until_ready(out)
+        ts = []
+        for rep in range(3):
+            eps = jnp.float32((rep + 1) * 1e-7)
+            t0 = time.perf_counter()
+            out = run_j(src.xyz, src.mask, tgt.xyz, tgt.mask, eps)
+            jax.block_until_ready(out)
+            float(out[2])  # force real completion over the relay
+            ts.append(time.perf_counter() - t0)
+        est = SE3(R=out[0], t=out[1])
+        rot_err, t_err = est.distance_to(gt)
+        wall = min(ts)
+        print(f"{name:36s} {wall*1e3:7.1f} ms  {N/wall/1e6:5.2f}M pts/s  "
+              f"rmse={float(out[2]):.2e} rot={float(rot_err):.1e} "
+              f"t={float(t_err):.1e}", flush=True)
+    except Exception as e:
+        print(f"{name:36s} FAILED {type(e).__name__}: {e}", flush=True)
+
+bnn.block_radius_moments = jnp_moments

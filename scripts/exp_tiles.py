@@ -58,6 +58,7 @@ for name, kw in CONFIGS.items():
         t0 = time.perf_counter()
         out = run_j(src.xyz, src.mask, tgt.xyz, tgt.mask, eps)
         jax.block_until_ready(out)
+        float(out[2])  # relay-proof: force real completion (see exp_fused)
         ts.append(time.perf_counter() - t0)
     est = SE3(R=out[0], t=out[1])
     rot_err, t_err = est.distance_to(gt)
