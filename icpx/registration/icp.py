@@ -433,7 +433,7 @@ def _register_jit(
             f = config.block_tile // config.block_q_tile
             if f > 1 and s_idx.n_tiles % f == 0:
                 s_idx = coarsen_index(s_idx, f)
-            src_n_s = _index_normals(s_idx, config.k_normals, k_tiles=4)
+            src_n_s = _index_normals(s_idx, config.k_normals, k_tiles=2)
         else:
             src_n_s = jnp.where(valid[:, None], src_n[safe], 0.0)
         # Target payload in SORTED tile layout: NN returns sorted flat
@@ -446,7 +446,7 @@ def _register_jit(
         tgt_sorted = tgt_index.tiles.reshape(-1, 3)
         if "tgt" in normals_for:
             tgt_n_sorted = _index_normals(
-                tgt_index, config.k_normals, k_tiles=4
+                tgt_index, config.k_normals, k_tiles=2
             )
         else:
             from icpx.kernels.blocknn import tile_payload
