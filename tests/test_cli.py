@@ -88,3 +88,26 @@ def test_register_config_override(cloud_file, tmp_path):
 def test_bad_odometry_args():
     with pytest.raises(SystemExit):
         main(["odometry"])  # no source given
+
+
+def test_odometry_cli_resume_matches_full(tmp_path, capsys):
+    """icpx odometry --resume continues a killed run to the same
+    trajectory (synthetic frames are prefix-stable in --frames)."""
+    ck_full = tmp_path / "full.npz"
+    ck_part = tmp_path / "part.npz"
+    ck_res = tmp_path / "resumed.npz"
+    common = ["odometry", "--synthetic", "--points-per-scan", "1024"]
+    assert main(common + ["--frames", "8", "--checkpoint", str(ck_full)]) == 0
+    assert main(common + ["--frames", "5", "--checkpoint", str(ck_part)]) == 0
+    assert main(common + [
+        "--frames", "8", "--resume", str(ck_part),
+        "--checkpoint", str(ck_res),
+    ]) == 0
+    assert "resuming from" in capsys.readouterr().out
+    from icpx.utils.checkpoint import OdometryCheckpoint
+
+    full = OdometryCheckpoint.load(ck_full)
+    res = OdometryCheckpoint.load(ck_res)
+    np.testing.assert_allclose(res.poses_t, full.poses_t, atol=1e-6)
+    np.testing.assert_allclose(res.poses_R, full.poses_R, atol=1e-6)
+    assert [e[:2] for e in res.edges] == [e[:2] for e in full.edges]

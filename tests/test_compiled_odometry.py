@@ -63,3 +63,38 @@ def test_compiled_matches_host_loop():
     for (ci, cj, cT), (_, _, hT) in zip(comp_edges, host.edges):
         rot_err, t_err = cT.distance_to(hT)
         assert float(rot_err) < 1e-3 and float(t_err) < 1e-3, (ci, cj)
+
+def test_compiled_gicp_runs():
+    """GICP covariance plumbing through the compiled whole-sequence path
+    (VERDICT round-1 item 7): finite trajectory, sane ATE."""
+    from icpx.kernels.normals import estimate_covariances
+
+    world = make_world(n_points=60000, extent=30.0, seed=0)
+    gt = make_trajectory(6, speed=0.6, turn=0.04)
+    frames = simulate_scans(
+        world, gt, max_range=18.0, points_per_scan=2048, noise=0.01, seed=1
+    )
+    frames = [estimate_covariances(f, k=15) for f in frames]
+    cfg = ICPConfig(
+        objective="gicp",
+        max_iters=10,
+        diff_threshold=0.0,
+        rmse_change_tol=1e-6,
+        robust="huber",
+        max_corr_dist=2.0,
+    )
+    comp = run_odometry_compiled(
+        jnp.stack([f.xyz for f in frames]),
+        jnp.stack([f.mask for f in frames]),
+        jnp.stack([f.covs.reshape(f.capacity, 9) for f in frames]),
+        cfg,
+        keyframe_trans=1.0,
+        keyframe_rot=0.2,
+    )
+    assert np.isfinite(np.asarray(comp.poses.t)).all()
+    gt_rel = [gt[0].inverse() @ g for g in gt]
+    plist = [
+        jax.tree_util.tree_map(lambda x: x[i], comp.poses)
+        for i in range(len(frames))
+    ]
+    assert ate_rmse(plist, gt_rel, align=False) < 0.35
