@@ -26,7 +26,9 @@ from pathlib import Path
 
 def _add_icp_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--objective", default="symmetric",
-                   choices=["symmetric", "p2plane", "p2p", "gicp"])
+                   choices=["symmetric", "p2plane", "p2p", "gicp", "ndt"])
+    p.add_argument("--ndt-cell", type=int, default=64,
+                   help="NDT cell size in points (objective=ndt)")
     p.add_argument("--max-iters", type=int, default=10,
                    help="outer iterations (reference: 10, myicp.cpp:6)")
     p.add_argument("--diff-threshold", type=float, default=1.0,
@@ -73,8 +75,16 @@ def cmd_register(args) -> int:
 
     src = load_cloud(args.src)
     tgt = load_cloud(args.tgt)
+    if args.objective == "ndt":
+        args.objective = "gicp"  # the solve NDT rides on (see ndt.py)
+    else:
+        args.ndt_cell = 0
     cfg = _icp_config(args)
-    if args.pyramid_levels > 1:
+    if args.ndt_cell:
+        from icpx.registration.ndt import register_ndt
+
+        res = register_ndt(src, tgt, cfg, cell_size=args.ndt_cell)
+    elif args.pyramid_levels > 1:
         res, _ = register_pyramid(
             src, tgt, PyramidConfig(levels=args.pyramid_levels, base=cfg)
         )

@@ -1,5 +1,6 @@
 from icpx.registration.horn import horn_align, umeyama_align
 from icpx.registration.icp import ICPConfig, ICPResult, register, register_xyz
+from icpx.registration.ndt import ndt_cells, register_ndt
 from icpx.registration.pyramid import PyramidConfig, register_pyramid
 from icpx.registration.linearize import (
     build_normal_equations_p2plane,
@@ -11,6 +12,8 @@ from icpx.registration.solve import (
 )
 
 __all__ = [
+    "ndt_cells",
+    "register_ndt",
     "horn_align",
     "umeyama_align",
     "ICPConfig",

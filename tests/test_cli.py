@@ -111,3 +111,14 @@ def test_odometry_cli_resume_matches_full(tmp_path, capsys):
     np.testing.assert_allclose(res.poses_t, full.poses_t, atol=1e-6)
     np.testing.assert_allclose(res.poses_R, full.poses_R, atol=1e-6)
     assert [e[:2] for e in res.edges] == [e[:2] for e in full.edges]
+
+
+def test_register_ndt_objective(cloud_file, tmp_path, capsys):
+    tgt = tmp_path / "nt.pcd"
+    main(["perturb", str(cloud_file), str(tgt), "--angle", "0.1"])
+    assert main([
+        "register", str(cloud_file), str(tgt),
+        "--objective", "ndt", "--ndt-cell", "32", "--max-iters", "25",
+        "--diff-threshold", "0",
+    ]) == 0
+    assert "converged" in capsys.readouterr().out

@@ -142,3 +142,34 @@ def test_cat_pair_shuffled_recovers_gt():
         np.asarray(pred)[np.asarray(src.mask)] - tgt.to_numpy(), axis=1
     )
     assert float(np.sqrt((err**2).mean())) < 0.5
+
+
+def test_ndt_registration_recovers_gt():
+    """NDT (point-to-cell-distribution) converges on a synthetic pair:
+    cells are KD tiles, the solve rides the GICP Mahalanobis path."""
+    import numpy as np
+
+    from icpx.geometry.transforms import make_rigid_perturbation
+    from icpx.io.loaders import synthetic_surface
+    from icpx.registration.ndt import ndt_cells, register_ndt
+
+    n = 20000
+    xyz = synthetic_surface(n, seed=3)
+    src = PointCloud.create(xyz)
+    gt = make_rigid_perturbation(angle=0.12, translation=(0.08, -0.04, 0.02))
+    rng = np.random.default_rng(4)
+    tgt_np = np.asarray(gt.apply(src.xyz))[:n]
+    tgt = PointCloud.create(tgt_np[rng.permutation(n)])
+
+    cells = ndt_cells(tgt, cell_size=64)
+    assert int(cells.num_valid()) >= n // 64 - 2
+    # cell covariances are SPD (regularized)
+    covs = np.asarray(cells.covs)[np.asarray(cells.mask)]
+    eig = np.linalg.eigvalsh(covs)
+    assert (eig > 0).all()
+
+    res = register_ndt(src, tgt, cell_size=64)
+    rot_err, t_err = res.transform.distance_to(gt)
+    # NDT converges to cell-quantization accuracy, not point accuracy
+    assert float(rot_err) < 5e-3 and float(t_err) < 2e-2, (
+        float(rot_err), float(t_err))
