@@ -71,6 +71,14 @@ class OdometryConfig:
     # frame dead-reckons on the motion model instead. <= 0 disables.
     max_correction_trans: float = 1.0
     max_correction_rot: float = 0.5
+    # Dynamic-object rejection: after a frame's pose is accepted, points
+    # whose residual to the keyframe exceeds `dynamic_sigma` x the median
+    # residual are masked OUT of the frame before it can become a
+    # keyframe / enter the map — moving objects (residuals ~ object
+    # motion, not registration noise) never contaminate the reference
+    # geometry. One extra NN pass per accepted frame. 0 disables.
+    dynamic_sigma: float = 0.0
+    dynamic_min_keep: float = 0.5  # never mask more than this fraction away
     # Incremental pose-graph backend over keyframes: "sliding_window"
     # maintains a SlidingWindowBackend (posegraph.py) during the run —
     # each spawned keyframe and its measured edge enter the window, the
@@ -139,6 +147,29 @@ def blend_velocity(
             innov / jnp.float32(innovation_scale), damping_min, 1.0
         )
     return SE3.exp((1.0 - b) * v_log + b * r_log)
+
+
+def _mask_dynamic(
+    frame: PointCloud, ref: PointCloud, rel: SE3, sigma: float,
+    min_keep: float,
+) -> PointCloud:
+    """Mask out points whose post-registration residual to the reference
+    cloud is an outlier (moving objects): residual > sigma * median.
+    Falls back to keeping everything if the mask would drop more than
+    (1 - min_keep) of the frame (e.g. genuinely poor overlap, where the
+    median itself is inflated)."""
+    from icpx.kernels.knn import nearest_neighbor
+    from icpx.registration.step import _masked_quantile
+
+    p = rel.apply(frame.xyz)
+    d2, _ = nearest_neighbor(p, ref.xyz, ref_mask=ref.mask)
+    dist = jnp.sqrt(d2)
+    valid = frame.mask
+    med = _masked_quantile(dist, valid.astype(jnp.float32), 0.5)
+    keep = dist <= sigma * jnp.maximum(med, 1e-6)
+    frac = (keep & valid).sum() / jnp.maximum(valid.sum(), 1)
+    keep = keep | (frac < min_keep)
+    return frame.replace(mask=valid & keep)
 
 
 def _register_pair(
@@ -341,6 +372,16 @@ def run_odometry(
         if (not rejected) and (
             trans > config.keyframe_trans or rot > config.keyframe_rot
         ):
+            if config.dynamic_sigma > 0:
+                # scrub moving objects before this frame becomes the
+                # reference geometry (keyframe / map insertion)
+                frames[k] = _mask_dynamic(
+                    frames[k],
+                    kf_cloud,
+                    rel,
+                    config.dynamic_sigma,
+                    config.dynamic_min_keep,
+                )
             edges.append((kf_index, k, rel))
             kf_cloud = frames[k]
             kf_pose = pose

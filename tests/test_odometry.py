@@ -257,3 +257,78 @@ def test_sliding_window_backend_wired(sim_sequence):
     )
     ate_none = ate_rmse(res_none.poses, gt)
     assert ate < ate_none + 0.05, (ate, ate_none)
+
+
+def test_dynamic_object_rejection():
+    """A moving object rides through the scene; with dynamic_sigma the
+    frontend scrubs it from keyframes (residual outliers vs the previous
+    keyframe). The object must move further than its own extent per
+    frame to be per-pair detectable (self-aliasing is documented)."""
+    import jax.numpy as jnp
+
+    from icpx.cloud import PointCloud
+    from icpx.odometry.frontend import _mask_dynamic, _register_pair
+    from icpx.geometry.se3 import SE3
+    from icpx.kernels.normals import estimate_normals
+
+    world = make_world(n_points=60000, extent=30.0, seed=0)
+    traj = make_trajectory(8, speed=0.8, turn=0.03)
+    rng = np.random.default_rng(9)
+    blob0 = rng.uniform(-1, 1, (300, 3)).astype(np.float32) * np.asarray(
+        [0.4, 0.4, 0.4], np.float32
+    ) + np.asarray([6.0, 4.0, 1.0], np.float32)
+    # one stable world subset: scans see exactly the subset points in
+    # range, so consecutive frames SHARE their overlap's surface points
+    # (like dense real LiDAR) and static residuals are noise-limited,
+    # not sampling-limited
+    world_sub = world[rng.choice(len(world), 12000, replace=False)]
+    frames = []
+    n_world = []
+    cap = 5504
+    for k, pose in enumerate(traj):
+        center = np.asarray(pose.t)
+        d2 = ((world_sub - center[None, :]) ** 2).sum(1)
+        near = np.where(d2 < 324)[0][: cap - 300]
+        blob_k = blob0 + np.asarray([0.0, -1.8, 0.0], np.float32) * k
+        pts_w = np.concatenate([world_sub[near], blob_k])
+        pts_s = np.array(pose.inverse().apply(jnp.asarray(pts_w)))
+        pts_s += rng.normal(0, 0.01, pts_s.shape).astype(np.float32)
+        n_world.append(len(near))
+        frames.append(PointCloud.create(pts_s.astype(np.float32),
+                                        capacity=cap))
+    icp = ICPConfig(
+        objective="symmetric",
+        max_iters=12,
+        diff_threshold=0.0,
+        rmse_change_tol=1e-6,
+        robust="huber",
+        max_corr_dist=2.0,
+    )
+    gt = [traj[0].inverse() @ g for g in traj]
+
+    # unit-level: the scrub removes the moving object, keeps the world
+    f0 = estimate_normals(frames[0], k=10)
+    f1 = estimate_normals(frames[1], k=10)
+    res01 = _register_pair(f1, f0, OdometryConfig(icp=icp), SE3.identity())
+    masked = _mask_dynamic(f1, f0, res01.transform, 3.0, 0.5)
+    keep = np.asarray(masked.mask)
+    nw = n_world[1]
+    assert keep[nw : nw + 300].mean() < 0.10, "moving object survived"
+    assert keep[:nw].mean() > 0.90, "static world over-scrubbed"
+
+    # end-to-end: rejection must not hurt the trajectory
+    res_dyn = run_odometry(
+        frames,
+        OdometryConfig(
+            icp=icp, keyframe_trans=0.5, keyframe_rot=0.15,
+            dynamic_sigma=3.0,
+        ),
+    )
+    res_raw = run_odometry(
+        frames, OdometryConfig(icp=icp, keyframe_trans=0.5,
+                               keyframe_rot=0.15)
+    )
+    ate_dyn = ate_rmse(res_dyn.poses, gt, align=False)
+    ate_raw = ate_rmse(res_raw.poses, gt, align=False)
+    assert ate_dyn <= ate_raw + 0.02, (ate_dyn, ate_raw)
+    assert ate_dyn < 0.35, ate_dyn
