@@ -247,3 +247,44 @@ def test_sharded_robust_stats_shard_independent():
     )
     rot_err, t_err = res_sharded.transform.distance_to(gt)
     assert float(rot_err) < 5e-3 and float(t_err) < 5e-3
+
+
+def test_sharded_ndt_register():
+    """NDT cells are a plain PointCloud-with-covariances, so the sharded
+    GICP path registers against them unchanged: sharded == single."""
+    from icpx.registration.ndt import ndt_cells
+
+    src, tgt, gt = _pair()
+    cells = ndt_cells(tgt, cell_size=32)
+    n = src.capacity
+    src_c = src.replace(
+        covs=jnp.broadcast_to(
+            1e-4 * jnp.eye(3, dtype=jnp.float32), (n, 3, 3)
+        )
+    )
+    # robust="none": the auto MAD scale is an exact quantile on one
+    # device but a psum'd histogram when sharded (shard-layout-stable,
+    # not bit-equal to the exact one) — equivalence needs matching math
+    cfg = ICPConfig(
+        objective="gicp",
+        max_iters=15,
+        diff_threshold=0.0,
+        rmse_change_tol=1e-6,
+        tile_q=256,
+        tile_r=256,
+    )
+    res_single = register(src_c, cells, cfg)
+    mesh = make_mesh(axis_names=("points",))
+    res_sharded = sharded_register(src_c, cells, cfg, mesh, ring=False)
+    assert np.allclose(
+        np.asarray(res_single.transform.R),
+        np.asarray(res_sharded.transform.R),
+        atol=1e-5,
+    )
+    assert np.allclose(
+        np.asarray(res_single.transform.t),
+        np.asarray(res_sharded.transform.t),
+        atol=1e-5,
+    )
+    rot_err, t_err = res_sharded.transform.distance_to(gt)
+    assert float(rot_err) < 1e-2 and float(t_err) < 3e-2
