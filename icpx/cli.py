@@ -355,9 +355,13 @@ def cmd_info(args) -> int:
     n = int(cloud.num_valid())
     ext = float(jax.device_get(cloud.extent()))
     c = jax.device_get(cloud.centroid())
+    feats = (
+        ",".join(cloud.feat_names) if cloud.feat_names else "none"
+    )
     print(f"{args.input}: {n} points, capacity {cloud.capacity}, "
           f"extent {ext:.4g}, centroid ({c[0]:.4g}, {c[1]:.4g}, {c[2]:.4g}), "
-          f"normals={'yes' if cloud.normals is not None else 'no'}")
+          f"normals={'yes' if cloud.normals is not None else 'no'}, "
+          f"payload={feats}")
     return 0
 
 

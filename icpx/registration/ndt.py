@@ -51,7 +51,14 @@ def ndt_cells(
     """
     from icpx.kernels.blocknn import build_kd_index
 
-    idx = build_kd_index(tgt.xyz, tgt.mask, tile_size=cell_size)
+    # center before the moment expansion: fp32 second moments at
+    # UTM-scale coordinate magnitudes (1e5+) lose the cell structure
+    # entirely (coordinate resolution ~0.06 m at 1e6); the shift is
+    # added back to the returned means
+    center = tgt.centroid()
+    idx = build_kd_index(
+        tgt.xyz - center[None, :], tgt.mask, tile_size=cell_size
+    )
     tiles = idx.tiles  # (T, S, 3)
     valid = (idx.order >= 0).reshape(tiles.shape[0], tiles.shape[1])
     cnt = valid.sum(axis=1).astype(jnp.float32)  # (T,)
@@ -68,7 +75,7 @@ def ndt_cells(
     cov_r = jnp.einsum("tik,tk,tjk->tij", V, lam_r, V)
     ok = cnt >= float(min_points)
     return PointCloud(
-        xyz=jnp.where(ok[:, None], mu, PAD_COORD),
+        xyz=jnp.where(ok[:, None], mu + center[None, :], PAD_COORD),
         mask=ok,
         covs=cov_r,
     )

@@ -173,3 +173,45 @@ def test_ndt_registration_recovers_gt():
     # NDT converges to cell-quantization accuracy, not point accuracy
     assert float(rot_err) < 5e-3 and float(t_err) < 2e-2, (
         float(rot_err), float(t_err))
+
+
+def test_ndt_large_coordinate_offsets():
+    """ndt_cells centers before its fp32 moment expansion: a UTM-scale
+    offset must not corrupt cell covariances or the registration."""
+    import numpy as np
+
+    from icpx.geometry.transforms import make_rigid_perturbation
+    from icpx.io.loaders import synthetic_surface
+    from icpx.registration.ndt import ndt_cells, register_ndt
+
+    n = 10000
+    off = np.asarray([1.0e5, -2.0e5, 300.0], np.float32)
+    xyz = synthetic_surface(n, seed=6) + off
+    src = PointCloud.create(xyz)
+    gt = make_rigid_perturbation(angle=0.08, translation=(0.05, -0.03, 0.01))
+    # rotate about the cloud, not the distant origin
+    import jax.numpy as jnp
+    from icpx.geometry.se3 import SE3
+
+    c = jnp.asarray(off)
+    gt = (SE3.identity().replace(t=c) @ gt
+          @ SE3.identity().replace(t=-c))
+    rng = np.random.default_rng(7)
+    tgt_np = np.asarray(gt.apply(src.xyz))[:n]
+    tgt = PointCloud.create(tgt_np[rng.permutation(n)])
+
+    cells = ndt_cells(tgt, cell_size=64)
+    covs = np.asarray(cells.covs)[np.asarray(cells.mask)]
+    eig = np.linalg.eigvalsh(covs)
+    assert (eig > 0).all() and np.isfinite(eig).all()
+    # covariance scale ~ cell extents, not coordinate-resolution noise
+    assert np.median(eig[:, 2]) < 1.0, np.median(eig[:, 2])
+
+    res = register_ndt(src, tgt, cell_size=64)
+    # quality measured as displacement ON the cloud: comparing global
+    # transforms at a 2e5 lever arm turns fp32 rotation noise (~5e-4
+    # rad, below arccos resolution) into tens of meters of apparent
+    # translation difference
+    est_pts = np.asarray(res.transform.apply(src.xyz))[:n]
+    disp = np.linalg.norm(est_pts - tgt_np, axis=1)
+    assert float(np.median(disp)) < 0.05, float(np.median(disp))
