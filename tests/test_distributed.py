@@ -288,3 +288,46 @@ def test_sharded_ndt_register():
     )
     rot_err, t_err = res_sharded.transform.distance_to(gt)
     assert float(rot_err) < 1e-2 and float(t_err) < 3e-2
+
+
+def test_parallel_odometry_matches_sequential():
+    """DP odometry (all consecutive pairs at once over the pairs axis)
+    recovers the same trajectory class as the sequential frontend on a
+    small-motion sequence."""
+    from icpx.odometry.evaluate import ate_rmse
+    from icpx.odometry.frontend import OdometryConfig, run_odometry
+    from icpx.odometry.kitti import make_trajectory, make_world, simulate_scans
+    from icpx.odometry.parallel import parallel_odometry
+
+    world = make_world(n_points=60000, extent=30.0, seed=0)
+    gt = make_trajectory(9, speed=0.5, turn=0.03)
+    frames = simulate_scans(
+        world, gt, max_range=18.0, points_per_scan=2048, noise=0.01, seed=1
+    )
+    gt0 = [gt[0].inverse() @ g for g in gt]
+    icp = ICPConfig(
+        objective="symmetric",
+        max_iters=12,
+        diff_threshold=0.0,
+        rmse_change_tol=1e-6,
+        robust="huber",
+        max_corr_dist=2.0,
+        tile_q=512,
+        tile_r=512,
+    )
+    mesh = make_mesh(axis_names=("pairs", "points"), shape=(4, 2))
+    # identity init needs a larger iteration budget than the motion-model
+    # seeded sequential path
+    import dataclasses
+
+    poses, edges, rmse = parallel_odometry(
+        frames, dataclasses.replace(icp, max_iters=30), mesh
+    )
+    assert len(poses) == 9 and len(edges) == 8
+    ate_par = ate_rmse(poses, gt0, align=False)
+    seq = run_odometry(
+        frames, OdometryConfig(icp=icp, keyframe_trans=0.4, keyframe_rot=0.1)
+    )
+    ate_seq = ate_rmse(seq.poses, gt0, align=False)
+    assert ate_par < max(2.0 * ate_seq, 0.08), (ate_par, ate_seq)
+    assert np.isfinite(np.asarray(rmse)).all()
