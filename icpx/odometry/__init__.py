@@ -1,13 +1,33 @@
-from icpx.odometry.frontend import OdometryConfig, OdometryResult, run_odometry
-from icpx.odometry.posegraph import PoseGraph, optimize_pose_graph
+from icpx.odometry.compiled import CompiledOdometry, run_odometry_compiled
 from icpx.odometry.evaluate import ate_rmse, rpe
+from icpx.odometry.frontend import (
+    MotionState,
+    OdometryConfig,
+    OdometryResult,
+    blend_velocity,
+    run_odometry,
+)
+from icpx.odometry.parallel import parallel_odometry
+from icpx.odometry.posegraph import (
+    PoseGraph,
+    SlidingWindowBackend,
+    optimize_pose_graph,
+    optimize_pose_graph_sparse,
+)
 
 __all__ = [
+    "CompiledOdometry",
+    "MotionState",
     "OdometryConfig",
     "OdometryResult",
-    "run_odometry",
     "PoseGraph",
-    "optimize_pose_graph",
+    "SlidingWindowBackend",
     "ate_rmse",
+    "blend_velocity",
+    "optimize_pose_graph",
+    "optimize_pose_graph_sparse",
+    "parallel_odometry",
     "rpe",
+    "run_odometry",
+    "run_odometry_compiled",
 ]
