@@ -466,10 +466,10 @@ def _register_jit(
 
         def make_nn(n_tiles, tile_rows, k_tiles, cand=None):
             def nn_fn(p):
-                # positions + two sorted-layout row gathers beat in-fold
-                # payload selection by ~4x at 1M points (measured) —
-                # XLA's whole-row gather is cheap when the accesses are
-                # coherent; per-tile take_along_axis is not.
+                # positions + ONE sorted-layout payload-table gather:
+                # in-fold one-hot payload selection measured slightly
+                # slower (32.5 vs 28 ms/iter at 1M, relay-fenced) — the
+                # coherent row gather is cheap in-context.
                 ptiles = p.reshape(n_tiles, tile_rows, 3)
                 if fused:
                     from icpx.kernels.blocknn_pallas import block_nn_fused4
