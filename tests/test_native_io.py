@@ -2,6 +2,7 @@
 
 import os
 import subprocess
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -93,3 +94,47 @@ def test_pcd_read_uses_native_and_matches(tmp_path, rng):
         os.environ.pop("ICPX_NO_NATIVE", None)
     assert np.allclose(a, b, atol=1e-5)
     assert np.allclose(a, xyz, atol=1e-4)
+
+def test_scan_prefetcher_order_and_overlap(tmp_path, rng):
+    """ScanPrefetcher yields scans in order with `depth` loads in flight
+    (loader invocation order is the submission order, ahead of use)."""
+    import threading
+    import time
+
+    from icpx.cloud import PointCloud
+    from icpx.io.prefetch import ScanPrefetcher
+
+    calls = []
+    lock = threading.Lock()
+
+    def loader(p):
+        with lock:
+            calls.append(int(Path(p).stem))
+        time.sleep(0.01)
+        k = int(Path(p).stem)
+        return PointCloud.create(
+            np.full((4, 3), float(k), np.float32), capacity=128
+        )
+
+    paths = []
+    for k in range(8):
+        f = tmp_path / f"{k}.bin"
+        f.write_bytes(b"")
+        paths.append(f)
+    pf = ScanPrefetcher(paths, capacity=128, depth=3, loader=loader)
+    assert len(pf) == 8
+    out = [float(c.xyz[0, 0]) for c in pf]
+    assert out == [float(k) for k in range(8)]
+    assert sorted(calls) == list(range(8))
+
+
+def test_prefetch_kitti_reflectance(tmp_path, rng):
+    from icpx.io.prefetch import prefetch_kitti
+
+    for k in range(3):
+        pts = rng.normal(size=(64, 4)).astype(np.float32)
+        pts.tofile(tmp_path / f"{k:06d}.bin")
+    scans = list(prefetch_kitti(tmp_path, capacity=128, with_intensity=True))
+    assert len(scans) == 3
+    assert scans[0].feat_names == ("reflectance",)
+    assert int(scans[0].num_valid()) == 64
