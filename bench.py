@@ -112,6 +112,9 @@ def main():
     args_in = (src.xyz, src.mask, tgt.xyz, tgt.mask)
     out = run_j(*args_in, jnp.float32(0.0))
     jax.block_until_ready(out)  # compile + warm
+    float(out[2])  # completion fence: block_until_ready can return early
+    # over relayed backends (NOTES.md); timed reps then measure a clean
+    # 1-deep pipeline whose median equals the true device wall
     profile_cm = None
     if args.profile:
         from icpx.utils.profiling import trace_context
@@ -264,6 +267,7 @@ def bench_odometry(args):
     kwargs = dict(velocity_damping=0.7)
     out = run_odometry_compiled(fx, fm, fn, cfg, **kwargs)
     jax.block_until_ready(out)  # compile + warm
+    float(out.rmse[0])  # completion fence (see bench_register)
     times = []
     for rep in range(args.reps):
         t0 = time.perf_counter()

@@ -36,21 +36,40 @@ class Timer:
         return out
 
 
+def _fence(out):
+    """Force REAL device completion. `jax.block_until_ready` can return
+    before execution finishes on relayed backends (measured: a 4.4 s 8M
+    KD build 'blocked' in 0.6 ms, the work then materialized at the
+    first value fetch — NOTES.md round 2); fetching one scalar is the
+    only reliable fence."""
+    jax.block_until_ready(out)
+    leaves = jax.tree_util.tree_leaves(out)
+    for leaf in leaves:
+        if hasattr(leaf, "ravel") and getattr(leaf, "size", 0):
+            float(jax.device_get(leaf.ravel()[0]))
+            break
+
+
 def time_fn(fn, *args, reps: int = 5, warmup: int = 1, cache_bust=None):
     """Median wall seconds of fn(*args).
 
     `cache_bust`: optional callable (rep_index) -> extra arg appended to
     args each rep; use on backends that memoize identical executions
     (the axon relay does — see .claude/skills/verify/SKILL.md).
+
+    Each rep is fenced with a scalar fetch (see `_fence`), so the median
+    includes one device round trip — negligible against the workloads
+    this times, and the only way to get truthful numbers on relayed
+    backends.
     """
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args, *( [cache_bust(0)] if cache_bust else [] )))
+        _fence(fn(*args, *([cache_bust(0)] if cache_bust else [])))
     times = []
     for r in range(reps):
         extra = [cache_bust(r + 1)] if cache_bust else []
         t0 = time.perf_counter()
         out = fn(*args, *extra)
-        jax.block_until_ready(out)
+        _fence(out)
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2]
