@@ -220,6 +220,9 @@ def cmd_odometry(args) -> int:
         icp=icp_cfg,
         keyframe_trans=args.keyframe_trans,
         keyframe_rot=args.keyframe_rot,
+        backend=args.backend,
+        window=args.window,
+        dynamic_sigma=args.dynamic_sigma,
     )
     if args.compiled:
         # whole-sequence single-program path (fast; scan-to-keyframe only)
@@ -458,6 +461,14 @@ def main(argv=None) -> int:
     p.add_argument("--max-corr-dist", type=float, default=2.0)
     p.add_argument("--keyframe-trans", type=float, default=1.0)
     p.add_argument("--keyframe-rot", type=float, default=0.2)
+    p.add_argument("--backend", default="none",
+                   choices=["none", "sliding_window"],
+                   help="incremental pose-graph backend during the run")
+    p.add_argument("--window", type=int, default=10,
+                   help="sliding-window size (keyframes) for --backend")
+    p.add_argument("--dynamic-sigma", type=float, default=0.0,
+                   help="reject moving objects from keyframes: residual "
+                        "> sigma x median (0 = off)")
     p.add_argument("--loop-closure", action="store_true",
                    help="detect loop closures and optimize the pose graph")
     p.add_argument("--compiled", action="store_true",
