@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import io as _io
 import os
-import re
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple, Union
 

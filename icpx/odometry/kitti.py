@@ -8,9 +8,8 @@ line per frame (the `poses/XX.txt` files).
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 

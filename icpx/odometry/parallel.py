@@ -19,7 +19,7 @@ measured relative transforms feed the same pose-graph backend.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import jax.numpy as jnp
 

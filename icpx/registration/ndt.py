@@ -25,9 +25,8 @@ without flattening genuine structure.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
-import jax
 import jax.numpy as jnp
 
 from icpx.cloud import PAD_COORD, PointCloud
