@@ -1,5 +1,5 @@
 from icpx.odometry.compiled import CompiledOdometry, run_odometry_compiled
-from icpx.odometry.evaluate import ate_rmse, rpe
+from icpx.odometry.evaluate import ate_rmse, kitti_relative_error, rpe
 from icpx.odometry.frontend import (
     MotionState,
     OdometryConfig,
@@ -23,6 +23,7 @@ __all__ = [
     "PoseGraph",
     "SlidingWindowBackend",
     "ate_rmse",
+    "kitti_relative_error",
     "blend_velocity",
     "optimize_pose_graph",
     "optimize_pose_graph_sparse",

@@ -65,3 +65,47 @@ def rpe(
     t_err = np.asarray(jnp.linalg.norm(err.t, axis=-1))
     r_err = np.asarray(err.rotation_angle())
     return float(np.sqrt((t_err**2).mean())), float(np.sqrt((r_err**2).mean()))
+
+
+def kitti_relative_error(
+    est: Sequence[SE3],
+    gt: Sequence[SE3],
+    *,
+    lengths: Sequence[float] = (100.0, 200.0, 300.0, 400.0, 500.0,
+                                600.0, 700.0, 800.0),
+    step: int = 10,
+) -> Tuple[float, float]:
+    """The KITTI odometry benchmark metric (Geiger et al. 2012):
+    translational error (fraction, i.e. 0.01 = 1%) and rotational error
+    (rad/m), averaged over all subsequences of the standard lengths.
+
+    Subsequence starts are sampled every `step` frames; lengths with no
+    reachable end frame are skipped. Returns (nan, nan) when the
+    trajectory is shorter than the shortest length (use `rpe` then).
+    """
+    est_s, gt_s = _stack(est), _stack(gt)
+    gt_t = np.asarray(gt_s.t)
+    n = gt_t.shape[0]
+    # cumulative gt path length per frame
+    seg = np.linalg.norm(np.diff(gt_t, axis=0), axis=1)
+    cum = np.concatenate([[0.0], np.cumsum(seg)])
+
+    t_errs, r_errs = [], []
+    for first in range(0, n, step):
+        for length in lengths:
+            target = cum[first] + length
+            last = int(np.searchsorted(cum, target))
+            if last >= n:
+                continue
+            gt_rel = SE3(
+                R=gt_s.R[first], t=gt_s.t[first]
+            ).inverse() @ SE3(R=gt_s.R[last], t=gt_s.t[last])
+            est_rel = SE3(
+                R=est_s.R[first], t=est_s.t[first]
+            ).inverse() @ SE3(R=est_s.R[last], t=est_s.t[last])
+            err = est_rel.inverse() @ gt_rel
+            t_errs.append(float(jnp.linalg.norm(err.t)) / length)
+            r_errs.append(float(err.rotation_angle()) / length)
+    if not t_errs:
+        return float("nan"), float("nan")
+    return float(np.mean(t_errs)), float(np.mean(r_errs))

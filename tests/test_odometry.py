@@ -332,3 +332,30 @@ def test_dynamic_object_rejection():
     ate_raw = ate_rmse(res_raw.poses, gt, align=False)
     assert ate_dyn <= ate_raw + 0.02, (ate_dyn, ate_raw)
     assert ate_dyn < 0.35, ate_dyn
+
+
+def test_kitti_relative_error_metric(key):
+    """Segment metric: exact trajectory -> ~0 error; a constant 1%-per-
+    meter translational drift is measured as ~1%."""
+    from icpx.odometry.evaluate import kitti_relative_error
+    import jax.numpy as jnp
+
+    n = 400
+    poses = []
+    drifted = []
+    for k in range(n):
+        t = jnp.asarray([1.0 * k, 0.0, 0.0], jnp.float32)
+        poses.append(SE3.identity().replace(t=t))
+        drifted.append(
+            SE3.identity().replace(
+                t=t + jnp.asarray([0.0, 0.01 * k, 0.0], jnp.float32)
+            )
+        )
+    t_err, r_err = kitti_relative_error(poses, poses, lengths=(100.0, 200.0))
+    assert t_err < 1e-6 and r_err < 1e-6
+    t_err, r_err = kitti_relative_error(drifted, poses,
+                                        lengths=(100.0, 200.0))
+    assert 0.005 < t_err < 0.02, t_err
+    # too-short trajectory -> nan signal
+    t_err, _ = kitti_relative_error(poses[:5], poses[:5])
+    assert np.isnan(t_err)
