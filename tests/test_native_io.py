@@ -77,6 +77,10 @@ def test_pcd_read_uses_native_and_matches(tmp_path, rng):
     try:
         # force a fresh decision in a subprocess (module-level cache)
         code = (
+            "import jax\n"
+            # force CPU before any device touch: this subprocess must not
+            # depend on the TPU tunnel (observed multi-hour stalls)
+            "jax.config.update('jax_platforms', 'cpu')\n"
             "import numpy as np\n"
             "from icpx.io.pcd import read_pcd\n"
             f"b = read_pcd({str(p)!r})['xyz']\n"
