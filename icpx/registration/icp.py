@@ -166,11 +166,17 @@ def register(
     tgt: PointCloud,
     config: ICPConfig = ICPConfig(),
     init: Optional[SE3] = None,
+    *,
+    src_weight: Optional[jax.Array] = None,
 ) -> ICPResult:
     """Register src onto tgt (returns transform with tgt ~= T(src)).
 
     Estimates normals (k = config.k_normals) for either cloud that lacks
     them when the objective needs normals.
+
+    `src_weight` (N,) optionally scales each source point's vote in the
+    solve (sensor confidence / reflectance-derived priors, e.g. a
+    payload column via `src.feat("weight")`).
 
     Both clouds are internally shifted by the target centroid before
     solving and the shift is composed back into the returned transform:
@@ -214,7 +220,8 @@ def register(
             tgt = estimate_covariances(tgt, k=max(config.k_normals, 15))
 
     res = _register_jit(
-        src, tgt, init_c, config, normals_for=tuple(normals_for)
+        src, tgt, init_c, config, normals_for=tuple(normals_for),
+        src_w=src_weight,
     )
     return res.replace(transform=unshift @ res.transform @ shift)
 
@@ -229,6 +236,7 @@ def _icp_scan(
     reduce=identity_reduce,
     aux_rot=None,
     prev_rmse0=None,
+    src_w=None,
 ) -> ICPResult:
     """The ICP iteration core shared by every execution mode.
 
@@ -238,6 +246,9 @@ def _icp_scan(
     `aux_rot(T, aux)` moves the source aux into the current frame
     (default: vector rotation). `reduce` sums pytrees across a points
     partition (identity on a single device, psum when sharded).
+    `src_w` (N,) optionally scales each source point's vote in the solve
+    (sensor confidence, user priors) on top of the validity/robust
+    weights; it does not affect the convergence statistics.
 
     A `lax.while_loop` so convergence ACTUALLY stops the work (the
     reference's `while diff > threshold` loop, `myicp.cpp:123`) — the
@@ -260,6 +271,8 @@ def _icp_scan(
         w = correspondence_weights(
             config, p, n_p, q, n_q, dist, src_mask, reduce
         )
+        if src_w is not None:
+            w = w * src_w
         incre = estimate_increment(config, p, q, n_p, n_q, w, reduce)
         new_transform = incre @ transform
 
@@ -369,6 +382,7 @@ def _register_jit(
     init: SE3,
     config: ICPConfig,
     normals_for: tuple = (),
+    src_w: Optional[jax.Array] = None,
 ) -> ICPResult:
     if config.objective == "gicp":
         if src.covs is None or tgt.covs is None:
@@ -416,6 +430,8 @@ def _register_jit(
         # 1M-row re-gather needed
         src_xyz = src_order_idx.tiles.reshape(-1, 3)
         src_mask = valid
+        if src_w is not None:
+            src_w = jnp.where(valid, src_w[safe], 0.0)
         tgt_index = builder(
             tgt.xyz, tgt.mask, tile_size=config.block_tile
         )
@@ -513,6 +529,11 @@ def _register_jit(
             dn = src_n_s.shape[1]  # 3 (normals) or 9 (gicp covariances)
             n_c = src_n_s.reshape(tq // 4, 4 * sq, dn)[:, ::stride]
             m_c = src_mask.reshape(tq // 4, 4 * sq)[:, ::stride]
+            w_c = (
+                src_w.reshape(tq // 4, 4 * sq)[:, ::stride].reshape(-1)
+                if src_w is not None
+                else None
+            )
             cfg_c = dataclasses.replace(
                 config, max_iters=config.coarse_iters, diff_threshold=0.0
             )
@@ -524,6 +545,7 @@ def _register_jit(
                 init,
                 make_nn(tq // 4, cs, config.block_k),
                 aux_rot=aux_rot,
+                src_w=w_c,
             )
             init = res_c.transform
             k_ref = (
@@ -554,6 +576,7 @@ def _register_jit(
             make_nn(tq, sq, k_ref, cand=cand_ref),
             aux_rot=aux_rot,
             prev_rmse0=prev_rmse0,
+            src_w=src_w,
         )
         if coarse:
             res = res.replace(iters=res.iters + res_c.iters)
@@ -570,7 +593,8 @@ def _register_jit(
         return tgt.xyz[idx], tgt_n[idx], jnp.sqrt(d2)
 
     return _icp_scan(
-        config, src.xyz, src.mask, src_n, init, nn_fn, aux_rot=aux_rot
+        config, src.xyz, src.mask, src_n, init, nn_fn, aux_rot=aux_rot,
+        src_w=src_w,
     )
 
 

@@ -215,3 +215,36 @@ def test_ndt_large_coordinate_offsets():
     est_pts = np.asarray(res.transform.apply(src.xyz))[:n]
     disp = np.linalg.norm(est_pts - tgt_np, axis=1)
     assert float(np.median(disp)) < 0.05, float(np.median(disp))
+
+
+def test_src_weight_prior():
+    """Per-point source weights steer the solve: with all weight on a
+    rigidly-consistent subset, a corrupted remainder cannot bias the
+    transform (weights zero its votes)."""
+    import numpy as np
+
+    from icpx.geometry.transforms import make_rigid_perturbation
+    from icpx.io.loaders import synthetic_surface
+
+    n = 4096
+    xyz = synthetic_surface(n, seed=8)
+    gt = make_rigid_perturbation(angle=0.1, translation=(0.06, -0.02, 0.01))
+    tgt_np = np.asarray(gt.apply(jnp.asarray(xyz)))
+    src_np = xyz.copy()
+    # corrupt the last quarter of the SOURCE (consistent outlier shift:
+    # plain robust IRLS converges to a compromise; zero weights must not)
+    src_np[3 * n // 4 :] += np.asarray([0.5, 0.5, 0.0], np.float32)
+    src = PointCloud.create(src_np)
+    tgt = PointCloud.create(tgt_np)
+    cfg = ICPConfig(
+        objective="p2p", max_iters=20, diff_threshold=0.0,
+        rmse_change_tol=1e-7, nn_method="brute",
+    )
+    w = np.ones(n, np.float32)
+    w[3 * n // 4 :] = 0.0
+    res_w = register(src, tgt, cfg, src_weight=jnp.asarray(w))
+    rot_w, t_w = res_w.transform.distance_to(gt)
+    assert float(t_w) < 5e-3, float(t_w)
+    res_raw = register(src, tgt, cfg)
+    _, t_raw = res_raw.transform.distance_to(gt)
+    assert float(t_raw) > 5.0 * float(t_w), (float(t_raw), float(t_w))
