@@ -76,6 +76,12 @@ def cmd_register(args) -> int:
     src = load_cloud(args.src)
     tgt = load_cloud(args.tgt)
     if args.objective == "ndt":
+        if args.pyramid_levels > 1:
+            raise SystemExit(
+                "--objective ndt does not compose with --pyramid-levels "
+                "(NDT's cell granularity IS its resolution control; use "
+                "--ndt-cell)"
+            )
         args.objective = "gicp"  # the solve NDT rides on (see ndt.py)
     else:
         args.ndt_cell = 0
@@ -226,6 +232,18 @@ def cmd_odometry(args) -> int:
     )
     if args.compiled:
         # whole-sequence single-program path (fast; scan-to-keyframe only)
+        incompatible = [
+            name for name, v in [
+                ("--resume", getattr(args, "resume", None)),
+                ("--backend", args.backend != "none"),
+                ("--dynamic-sigma", args.dynamic_sigma > 0),
+            ] if v
+        ]
+        if incompatible:
+            raise SystemExit(
+                f"--compiled does not support {', '.join(incompatible)} "
+                "(host-path features); drop --compiled or those flags"
+            )
         import jax
         import jax.numpy as jnp
 
@@ -473,7 +491,9 @@ def main(argv=None) -> int:
                    help="detect loop closures and optimize the pose graph")
     p.add_argument("--compiled", action="store_true",
                    help="run the whole sequence as one compiled program "
-                        "(fastest; scan-to-keyframe only, no edges)")
+                        "(fastest; scan-to-keyframe only, measured edges; "
+                        "--resume/--backend/--dynamic-sigma need the host "
+                        "path)")
     p.add_argument("--metrics", default=None)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--resume", default=None,

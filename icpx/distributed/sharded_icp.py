@@ -250,6 +250,11 @@ def sharded_register_pairs(
     along `pairs_axis` with no cross-talk. Target is replicated along
     `points_axis` here (scan-to-scan odometry shapes).
     """
+    if config.objective == "gicp":
+        raise ValueError(
+            "sharded_register_pairs carries a normals aux channel; for "
+            "GICP use sharded_register per pair (covariance plumbing)"
+        )
     b, n = src_xyz.shape[0], src_xyz.shape[1]
     dp = mesh.shape[pairs_axis]
     sp = mesh.shape[points_axis]

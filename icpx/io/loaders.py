@@ -41,6 +41,13 @@ def _collect_feats(rec):
         col = np.asarray(rec[name])
         if col.ndim != 1 or base not in _PAYLOAD_FIELDS:
             continue
+        if col.dtype.kind in "iu" and col.size and (
+            np.abs(col.astype(np.float64)).max() > 2**24
+        ):
+            # feats are float32 on-device; wide integers (packed rgba,
+            # large labels) would silently round — skip rather than
+            # corrupt (pcd.py keeps them exact through its own round trip)
+            continue
         names.append(base)
         cols.append(col.astype(np.float32))
     if not cols:

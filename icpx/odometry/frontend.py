@@ -110,6 +110,11 @@ class OdometryResult:
     # motion-model state after the last frame (None for empty runs);
     # feed back through run_odometry(resume=...) for exact continuation
     motion: Optional[MotionState] = None
+    # post-scrub validity masks per keyframe (aligned with
+    # keyframe_indices), populated when dynamic_sigma > 0 — checkpointed
+    # so a resumed run registers against the same scrubbed reference
+    # geometry as the uninterrupted one
+    keyframe_masks: Optional[List] = None
 
 
 def blend_velocity(
@@ -246,6 +251,13 @@ def run_odometry(
     velocity = SE3.identity()
     model_warm = False  # motion model untrustworthy until one accept
     consecutive_rejects = 0
+    # which keyframe each frame's world pose chained from (the sliding-
+    # window backend re-anchors non-keyframe poses when it refines
+    # keyframes); keyframes are updated directly via their window node
+    anchors: List[int] = [0]
+    kf_masks: Optional[List] = (
+        [np.asarray(frames[0].mask)] if config.dynamic_sigma > 0 else None
+    )
     start = 1
 
     if resume is not None:
@@ -277,6 +289,25 @@ def run_odometry(
             edges.pop()
         kf_index = ck.keyframe_index
         kf_indices = [i for i, v in enumerate(is_kf) if v] or [0]
+        # rebuild the keyframe-anchor chain for the restored frames
+        anchors = [0]
+        last_kf = 0
+        for i in range(1, len(poses)):
+            anchors.append(last_kf)
+            if i < len(is_kf) and is_kf[i]:
+                last_kf = i
+        if config.dynamic_sigma > 0:
+            if getattr(ck, "kf_masks", None) is None:
+                raise ValueError(
+                    "resume with dynamic_sigma > 0 needs the checkpoint's "
+                    "keyframe masks (saved by runs with scrubbing on); "
+                    "this checkpoint has none"
+                )
+            kf_masks = []
+            for i, fi in enumerate(kf_indices):
+                m = jnp.asarray(ck.kf_masks[i])
+                frames[fi] = frames[fi].replace(mask=m)
+                kf_masks.append(np.asarray(m))
         kf_cloud = frames[kf_index]
         kf_pose = poses[kf_index]
         if ck.motion_R is not None:
@@ -355,6 +386,7 @@ def run_odometry(
             consecutive_rejects = 0
             model_warm = True
         poses.append(pose)
+        anchors.append(kf_index)
         vel_raw = prev_rel.inverse() @ rel
         velocity = blend_velocity(
             velocity,
@@ -389,16 +421,25 @@ def run_odometry(
             kf_indices.append(k)
             is_kf.append(True)
             prev_rel = SE3.identity()
+            if kf_masks is not None:
+                kf_masks.append(np.asarray(frames[k].mask))
             if win is not None:
                 node = win.add_keyframe(pose)
                 win.add_edge(node - 1, node, rel)
                 win.step()  # optimize active window + marginalize
-                # adopt refined keyframe poses (active + frozen) so the
-                # chain continues from the optimized estimate; poses of
-                # non-keyframe frames keep their original keyframe-
-                # relative placement
-                for off in range(len(win.poses)):
-                    poses[kf_indices[off]] = win.poses[off]
+                # adopt refined keyframe poses (active + frozen) AND
+                # re-anchor every non-keyframe pose on its keyframe's
+                # correction, keeping the returned trajectory internally
+                # consistent
+                deltas = {}
+                for off, fi in enumerate(kf_indices):
+                    new_p = win.poses[off]
+                    deltas[fi] = new_p @ poses[fi].inverse()
+                    poses[fi] = new_p
+                for f in range(1, len(poses)):
+                    a = anchors[f]
+                    if not is_kf[f] and a in deltas:
+                        poses[f] = deltas[a] @ poses[f]
                 kf_pose = win.poses[-1]
                 pose = kf_pose
             if use_map:
@@ -423,4 +464,5 @@ def run_odometry(
             model_warm=model_warm,
             consecutive_rejects=consecutive_rejects,
         ),
+        keyframe_masks=kf_masks,
     )

@@ -48,6 +48,12 @@ def parallel_odometry(
     """
     from icpx.distributed.sharded_icp import sharded_register_pairs
 
+    if config.objective == "gicp":
+        raise ValueError(
+            "parallel_odometry's pairs path carries a normals aux channel; "
+            "objective='gicp' (covariance aux) is not supported here — use "
+            "run_odometry or sharded_register per pair"
+        )
     f = len(frames)
     if f < 2:
         return [SE3.identity()] * f, [], jnp.zeros((0,), jnp.float32)

@@ -80,6 +80,9 @@ class OdometryCheckpoint:
     motion_t: Optional[np.ndarray] = None  # (2, 3)
     model_warm: bool = False
     consecutive_rejects: int = 0
+    # (K, N) bool post-scrub keyframe validity masks (dynamic-object
+    # rejection); required to resume runs with dynamic_sigma > 0
+    kf_masks: Optional[np.ndarray] = None
 
     @classmethod
     def from_result(cls, result) -> "OdometryCheckpoint":
@@ -110,6 +113,11 @@ class OdometryCheckpoint:
             consecutive_rejects=(
                 int(m.consecutive_rejects) if m is not None else 0
             ),
+            kf_masks=(
+                np.stack(result.keyframe_masks)
+                if result.keyframe_masks is not None
+                else None
+            ),
         )
 
     def save(self, path) -> None:
@@ -127,6 +135,8 @@ class OdometryCheckpoint:
             extra["consecutive_rejects"] = np.asarray(
                 self.consecutive_rejects, np.int32
             )
+        if self.kf_masks is not None:
+            extra["kf_masks"] = np.asarray(self.kf_masks, bool)
         np.savez_compressed(
             path,
             frame_index=self.frame_index,
@@ -175,6 +185,7 @@ class OdometryCheckpoint:
                     if "consecutive_rejects" in z
                     else 0
                 ),
+                kf_masks=z["kf_masks"] if "kf_masks" in z else None,
             )
 
     def poses(self) -> List[SE3]:

@@ -43,11 +43,11 @@ def _fence(out):
     first value fetch — NOTES.md round 2); fetching one scalar is the
     only reliable fence."""
     jax.block_until_ready(out)
-    leaves = jax.tree_util.tree_leaves(out)
-    for leaf in leaves:
+    # fetch from EVERY leaf: separate leaves can come from separately
+    # dispatched executables, each needing its own completion fence
+    for leaf in jax.tree_util.tree_leaves(out):
         if hasattr(leaf, "ravel") and getattr(leaf, "size", 0):
             float(jax.device_get(leaf.ravel()[0]))
-            break
 
 
 def time_fn(fn, *args, reps: int = 5, warmup: int = 1, cache_bust=None):

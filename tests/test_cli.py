@@ -122,3 +122,32 @@ def test_register_ndt_objective(cloud_file, tmp_path, capsys):
         "--diff-threshold", "0",
     ]) == 0
     assert "converged" in capsys.readouterr().out
+
+
+def test_compiled_rejects_host_only_flags(tmp_path):
+    import pytest
+
+    with pytest.raises(SystemExit, match="--compiled does not support"):
+        main([
+            "odometry", "--synthetic", "--frames", "4",
+            "--points-per-scan", "512", "--compiled",
+            "--resume", str(tmp_path / "x.npz"),
+        ])
+    with pytest.raises(SystemExit, match="dynamic-sigma"):
+        main([
+            "odometry", "--synthetic", "--frames", "4",
+            "--points-per-scan", "512", "--compiled",
+            "--dynamic-sigma", "3.0",
+        ])
+
+
+def test_register_ndt_rejects_pyramid(cloud_file, tmp_path):
+    import pytest
+
+    tgt = tmp_path / "t2.pcd"
+    main(["perturb", str(cloud_file), str(tgt), "--angle", "0.1"])
+    with pytest.raises(SystemExit, match="ndt does not compose"):
+        main([
+            "register", str(cloud_file), str(tgt),
+            "--objective", "ndt", "--pyramid-levels", "2",
+        ])

@@ -184,3 +184,22 @@ def test_kitti_bin_reflectance(tmp_path, rng):
     assert cloud.feat_names == ("reflectance",)
     np.testing.assert_allclose(cloud.feat("reflectance")[:64], pts[:, 3])
     np.testing.assert_allclose(load_kitti_scan_xyzi(f), pts)
+
+
+def test_wide_integer_payload_not_corrupted(tmp_path):
+    """Integer payload columns beyond float32's exact range (2^24) are
+    skipped rather than silently rounded (feats are f32 on device)."""
+    from icpx.io import load_cloud
+    from icpx.io.pcd import write_pcd
+
+    n = 50
+    xyz = np.zeros((n, 3), np.float32)
+    label = np.arange(20_000_000, 20_000_000 + n, dtype=np.uint32)
+    ring = np.arange(n, dtype=np.uint16)
+    p = tmp_path / "wide.pcd"
+    write_pcd(p, xyz, extra_fields={"label": label, "ring": ring},
+              binary=True)
+    cloud = load_cloud(p)
+    # narrow int kept, wide int dropped (not corrupted)
+    assert cloud.feat_names == ("ring",)
+    np.testing.assert_allclose(cloud.feat("ring")[:n], ring)

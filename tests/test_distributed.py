@@ -331,3 +331,23 @@ def test_parallel_odometry_matches_sequential():
     ate_seq = ate_rmse(seq.poses, gt0, align=False)
     assert ate_par < max(2.0 * ate_seq, 0.08), (ate_par, ate_seq)
     assert np.isfinite(np.asarray(rmse)).all()
+
+
+def test_pairs_paths_reject_gicp():
+    """The pairs aux channel carries normals; GICP must fail loudly, not
+    mis-reshape covariances (code-review finding)."""
+    from icpx.odometry.parallel import parallel_odometry
+
+    cfg = ICPConfig(objective="gicp")
+    frames = [
+        PointCloud.create(synthetic_surface(256, seed=s)) for s in range(3)
+    ]
+    mesh = make_mesh(axis_names=("pairs", "points"), shape=(2, 4))
+    with pytest.raises(ValueError, match="gicp"):
+        parallel_odometry(frames, cfg, mesh)
+    z3 = jnp.zeros((2, 256, 3))
+    with pytest.raises(ValueError, match="GICP"):
+        sharded_register_pairs(
+            z3, jnp.ones((2, 256), bool), z3, z3, jnp.ones((2, 256), bool),
+            z3, cfg, mesh,
+        )

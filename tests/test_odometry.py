@@ -359,3 +359,70 @@ def test_kitti_relative_error_metric(key):
     # too-short trajectory -> nan signal
     t_err, _ = kitti_relative_error(poses[:5], poses[:5])
     assert np.isnan(t_err)
+
+
+def test_resume_with_dynamic_scrub_matches(sim_sequence):
+    """Resume must reproduce dynamic-object-scrubbed runs too: keyframe
+    masks are checkpointed and reapplied (a resumed run otherwise
+    registers against unscrubbed reference geometry)."""
+    from icpx.utils.checkpoint import OdometryCheckpoint
+
+    frames, _ = sim_sequence
+    cfg = OdometryConfig(
+        icp=ICPConfig(
+            objective="symmetric",
+            max_iters=12,
+            diff_threshold=0.0,
+            rmse_change_tol=1e-6,
+            robust="huber",
+            max_corr_dist=2.0,
+        ),
+        keyframe_trans=1.0,
+        keyframe_rot=0.2,
+        dynamic_sigma=3.0,
+    )
+    full = run_odometry(frames, cfg)
+    assert full.keyframe_masks is not None
+
+    part = run_odometry(frames[:6], cfg)
+    ck = OdometryCheckpoint.from_result(part)
+    assert ck.kf_masks is not None
+    resumed = run_odometry(frames, cfg, resume=ck)
+    for pf, pr in zip(full.poses, resumed.poses):
+        np.testing.assert_allclose(np.asarray(pf.R), np.asarray(pr.R),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(pf.t), np.asarray(pr.t),
+                                   atol=1e-6)
+
+
+def test_sliding_window_trajectory_consistency(sim_sequence):
+    """Window refinement moves keyframes AND re-anchors the non-keyframe
+    poses chained off them: each frame's placement relative to its
+    keyframe is identical with and without the backend."""
+    frames, _ = sim_sequence
+    base = dict(
+        icp=ICPConfig(
+            objective="symmetric",
+            max_iters=12,
+            diff_threshold=0.0,
+            rmse_change_tol=1e-6,
+            robust="huber",
+            max_corr_dist=2.0,
+        ),
+        keyframe_trans=1.0,  # ~every other frame spawns (speed 0.6)
+        keyframe_rot=0.2,
+    )
+    res_w = run_odometry(frames, OdometryConfig(
+        backend="sliding_window", window=3, **base))
+    res_0 = run_odometry(frames, OdometryConfig(**base))
+    assert res_w.keyframe_indices == res_0.keyframe_indices
+    kf = res_w.keyframe_indices
+    anchor = 0
+    for f in range(len(frames)):
+        if f in kf:
+            anchor = f
+            continue
+        rel_w = res_w.poses[anchor].inverse() @ res_w.poses[f]
+        rel_0 = res_0.poses[anchor].inverse() @ res_0.poses[f]
+        np.testing.assert_allclose(np.asarray(rel_w.t), np.asarray(rel_0.t),
+                                   atol=1e-4)
