@@ -29,6 +29,9 @@ def _add_icp_flags(p: argparse.ArgumentParser) -> None:
                    choices=["symmetric", "p2plane", "p2p", "gicp", "ndt"])
     p.add_argument("--ndt-cell", type=int, default=64,
                    help="NDT cell size in points (objective=ndt)")
+    p.add_argument("--weight-feat", default=None,
+                   help="payload column used as per-point source weight "
+                        "(e.g. a confidence channel)")
     p.add_argument("--max-iters", type=int, default=10,
                    help="outer iterations (reference: 10, myicp.cpp:6)")
     p.add_argument("--diff-threshold", type=float, default=1.0,
@@ -86,6 +89,7 @@ def cmd_register(args) -> int:
     else:
         args.ndt_cell = 0
     cfg = _icp_config(args)
+    src_weight = src.feat(args.weight_feat) if args.weight_feat else None
     if args.ndt_cell:
         from icpx.registration.ndt import register_ndt
 
@@ -95,7 +99,7 @@ def cmd_register(args) -> int:
             src, tgt, PyramidConfig(levels=args.pyramid_levels, base=cfg)
         )
     else:
-        res = register(src, tgt, cfg)
+        res = register(src, tgt, cfg, src_weight=src_weight)
     jax.block_until_ready(res)
     print(format_trace(res))
     m = res.transform.matrix()
