@@ -333,6 +333,9 @@ def block_nn(
     max_chunk: int = 32768,
     return_pos: bool = False,
     cand_tiles: Optional[jax.Array] = None,
+    query_feat: Optional[jax.Array] = None,
+    feat_tiles: Optional[jax.Array] = None,
+    feat_weight: float = 1.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """NN of spatially-coherent query tiles (Tq, Sq, 3) into the index.
 
@@ -350,6 +353,14 @@ def block_nn(
     queries barely move between calls (ICP refine iterations after the
     coarse phase) can rank once and amortize the selection cost.
 
+    Feature-augmented matching: with `query_feat` (Tq, Sq) and
+    `feat_tiles` (T, S) scalar channels (intensity/reflectance), the NN
+    runs in the 4D metric ||p-q||^2 + feat_weight^2 (f_p - f_q)^2 — the
+    feature rides the SAME einsum (one extra contraction lane), while
+    candidate-tile selection stays purely spatial (the feature term only
+    reorders within spatial candidates). Returned sqdists are in the
+    augmented metric.
+
     Above `max_chunk` query tiles, processing runs in chunks (lax.map) so
     the per-fold score tensor stays bounded (~chunk*Sq*S*4 bytes): 10M-pt
     clouds would otherwise need a >10 GB intermediate.
@@ -357,45 +368,62 @@ def block_nn(
     tq, sq, _ = query_tiles.shape
     if tq > max_chunk:
         qt, n_chunks, chunk = _pad_chunks(query_tiles, max_chunk)
-        if cand_tiles is None:
-            d, i = jax.lax.map(
-                lambda q: block_nn(
-                    q, index, k_tiles=k_tiles, max_chunk=max_chunk,
-                    return_pos=return_pos,
-                ),
-                qt,
-            )
-        else:
+        parts = [qt]
+
+        def pad2(arr, fill):
             pad_c = qt.shape[0] * qt.shape[1] - tq
-            cpad = jnp.concatenate(
-                [cand_tiles]
-                + ([jnp.zeros((pad_c, cand_tiles.shape[1]), jnp.int32)]
-                   if pad_c else [])
-            ).reshape(qt.shape[0], qt.shape[1], -1)
-            d, i = jax.lax.map(
-                lambda qc: block_nn(
-                    qc[0], index, k_tiles=k_tiles, max_chunk=max_chunk,
-                    return_pos=return_pos, cand_tiles=qc[1],
-                ),
-                (qt, cpad),
-            )
+            if pad_c:
+                arr = jnp.concatenate(
+                    [arr, jnp.full((pad_c,) + arr.shape[1:], fill,
+                                   arr.dtype)]
+                )
+            return arr.reshape(qt.shape[0], qt.shape[1], *arr.shape[1:])
+
+        have_cand = cand_tiles is not None
+        have_feat = query_feat is not None
+        if have_cand:
+            parts.append(pad2(cand_tiles, 0))
+        if have_feat:
+            parts.append(pad2(query_feat, 0.0))
+        d, i = jax.lax.map(
+            lambda xs: block_nn(
+                xs[0], index, k_tiles=k_tiles, max_chunk=max_chunk,
+                return_pos=return_pos,
+                cand_tiles=xs[1] if have_cand else None,
+                query_feat=xs[1 + have_cand] if have_feat else None,
+                feat_tiles=feat_tiles,
+                feat_weight=feat_weight,
+            ),
+            tuple(parts),
+        )
         return d.reshape(-1)[: tq * sq], i.reshape(-1)[: tq * sq]
     s = index.tile_size
     if cand_tiles is None:
         cand_tiles, _ = _candidate_tiles(query_tiles, index, k_tiles)
 
     # Augmented query: [-2x, -2y, -2z, 1] so the MXU emits the biased
-    # score ||r||^2 - 2 q.r (see knn_pallas.py).
-    q4 = jnp.concatenate(
-        [-2.0 * query_tiles, jnp.ones((tq, sq, 1), jnp.float32)], axis=2
-    )
+    # score ||r||^2 - 2 q.r (see knn_pallas.py). A feature channel adds
+    # one contraction lane: [..., -2 w^2 f_q] against [..., f_r] with
+    # w^2 f_r^2 folded into the bias row.
+    lam2 = jnp.float32(feat_weight) ** 2
+    q_ops = [-2.0 * query_tiles, jnp.ones((tq, sq, 1), jnp.float32)]
+    if query_feat is not None:
+        q_ops.append((-2.0 * lam2 * query_feat)[..., None])
+    q4 = jnp.concatenate(q_ops, axis=2)
 
     def fold(carry, k):
         best_s, best_p = carry
         tid = cand_tiles[:, k]  # (Tq,)
         r = index.tiles[tid]  # (Tq, S, 3) contiguous-row gather
         rr = jnp.sum(r * r, axis=2)  # (Tq, S)
-        r4 = jnp.concatenate([r, rr[..., None]], axis=2)  # (Tq, S, 4)
+        if query_feat is not None:
+            f_r = feat_tiles[tid]  # (Tq, S)
+            rr = rr + lam2 * f_r * f_r
+            r4 = jnp.concatenate(
+                [r, rr[..., None], f_r[..., None]], axis=2
+            )
+        else:
+            r4 = jnp.concatenate([r, rr[..., None]], axis=2)
         score = jnp.einsum("tqc,tsc->tqs", q4, r4)  # (Tq, Sq, S) MXU
         smin = jnp.min(score, axis=2)
         sarg = jnp.argmin(score, axis=2).astype(jnp.int32)
@@ -415,6 +443,8 @@ def block_nn(
     )
 
     qq = jnp.sum(query_tiles**2, axis=2)
+    if query_feat is not None:
+        qq = qq + lam2 * query_feat * query_feat
     d = jnp.maximum(best_s + qq, 0.0).reshape(-1)
     if return_pos:
         return jnp.where(d < 1e15, d, jnp.inf), best_p.reshape(-1)

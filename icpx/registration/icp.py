@@ -88,6 +88,15 @@ class ICPConfig:
     # ~4x cheaper NN while the motion is still large. 0 disables.
     coarse_iters: int = 2
     coarse_stride: int = 4
+    # Feature-augmented correspondence (block NN only): match in the 4D
+    # metric ||p-q||^2 + feat_nn_weight^2 (f_p - f_q)^2 using the named
+    # payload column of BOTH clouds (e.g. "intensity"). Disambiguates
+    # geometrically degenerate scenes (planes, corridors) where pure
+    # point-to-surface ICP is rank-deficient. Scale the weight so
+    # feat_nn_weight * (typical feature contrast) ~ the spatial scale
+    # you want it to pin. "" disables.
+    feat_nn: str = ""
+    feat_nn_weight: float = 0.0
     # Rank refine-phase candidate tiles ONCE at the coarse-aligned
     # positions instead of every iteration (safe: post-coarse motion is
     # well under a tile extent; selection is ~15% of a 1M registration).
@@ -200,6 +209,11 @@ def register(
 
     needs_normals = config.objective in ("symmetric", "p2plane")
     block = config.resolve_nn(tgt.capacity) == "block"
+    if config.feat_nn and config.feat_nn_weight > 0 and not block:
+        raise ValueError(
+            "feature-augmented matching (feat_nn) needs the block NN "
+            "path; set nn_method='block'"
+        )
     normals_for = []
     if needs_normals and config.objective == "symmetric" and src.normals is None:
         if block:
@@ -432,9 +446,19 @@ def _register_jit(
         src_mask = valid
         if src_w is not None:
             src_w = jnp.where(valid, src_w[safe], 0.0)
+        use_feat = bool(config.feat_nn) and config.feat_nn_weight > 0
+        if use_feat:
+            from icpx.kernels.blocknn import tile_payload as _tp
+
+            src_f = jnp.where(valid, src.feat(config.feat_nn)[safe], 0.0)
+            tgt_f_tiles = None  # built after tgt_index below
         tgt_index = builder(
             tgt.xyz, tgt.mask, tile_size=config.block_tile
         )
+        if use_feat:
+            tgt_f_tiles = _tp(
+                tgt_index, tgt.feat(config.feat_nn)[:, None]
+            )[..., 0]
 
         # In-jit normal estimation off the SAME indexes (one KD build per
         # cloud total — separate estimate_normals builds cost ~28 ms each
@@ -477,10 +501,12 @@ def _register_jit(
 
         sq = config.block_q_tile
         tq = src_xyz.shape[0] // sq
-        fused = config.resolve_fused()
+        fused = config.resolve_fused() and not (
+            bool(config.feat_nn) and config.feat_nn_weight > 0
+        )
         group = config.block_group if tq % config.block_group == 0 else 1
 
-        def make_nn(n_tiles, tile_rows, k_tiles, cand=None):
+        def make_nn(n_tiles, tile_rows, k_tiles, cand=None, qfeat=None):
             def nn_fn(p):
                 # positions + ONE sorted-layout payload-table gather:
                 # in-fold one-hot payload selection measured slightly
@@ -502,6 +528,13 @@ def _register_jit(
                     d2, pos = block_nn(
                         ptiles, tgt_index, k_tiles=k_tiles,
                         return_pos=True, cand_tiles=cand,
+                        query_feat=(
+                            qfeat.reshape(n_tiles, tile_rows)
+                            if qfeat is not None
+                            else None
+                        ),
+                        feat_tiles=tgt_f_tiles if qfeat is not None else None,
+                        feat_weight=config.feat_nn_weight,
                     )
                 # pad/miss rows carry d2=inf (gated by the validity mask
                 # downstream); their PAD_COORD coords are finite, so
@@ -529,6 +562,11 @@ def _register_jit(
             dn = src_n_s.shape[1]  # 3 (normals) or 9 (gicp covariances)
             n_c = src_n_s.reshape(tq // 4, 4 * sq, dn)[:, ::stride]
             m_c = src_mask.reshape(tq // 4, 4 * sq)[:, ::stride]
+            f_c = (
+                src_f.reshape(tq // 4, 4 * sq)[:, ::stride].reshape(-1)
+                if use_feat
+                else None
+            )
             w_c = (
                 src_w.reshape(tq // 4, 4 * sq)[:, ::stride].reshape(-1)
                 if src_w is not None
@@ -543,7 +581,7 @@ def _register_jit(
                 m_c.reshape(-1),
                 n_c.reshape(-1, dn),
                 init,
-                make_nn(tq // 4, cs, config.block_k),
+                make_nn(tq // 4, cs, config.block_k, qfeat=f_c),
                 aux_rot=aux_rot,
                 src_w=w_c,
             )
@@ -573,7 +611,10 @@ def _register_jit(
 
         res = _icp_scan(
             config, src_xyz, src_mask, src_n_s, init,
-            make_nn(tq, sq, k_ref, cand=cand_ref),
+            make_nn(
+                tq, sq, k_ref, cand=cand_ref,
+                qfeat=src_f if use_feat else None,
+            ),
             aux_rot=aux_rot,
             prev_rmse0=prev_rmse0,
             src_w=src_w,

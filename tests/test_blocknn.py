@@ -263,3 +263,47 @@ def test_hierarchical_candidate_selection_recall(rng, monkeypatch):
     # flat: any extra misses are hierarchy-induced)
     worse = (d_hier[valid] > d_flat[valid] + 1e-6).mean()
     assert worse < 0.002, f"hierarchy-induced miss rate {worse}"
+
+
+def test_feature_augmented_nn(rng):
+    """block_nn with a feature channel matches brute-force 4D NN in the
+    metric ||p-q||^2 + w^2 (f_p - f_q)^2."""
+    from icpx.kernels.blocknn import build_kd_index, tile_payload
+
+    n = 4096
+    r = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    f_r = rng.uniform(0, 1, (n,)).astype(np.float32)
+    q = (r + rng.normal(0, 0.01, r.shape)).astype(np.float32)
+    f_q = rng.uniform(0, 1, (n,)).astype(np.float32)
+    w = 0.7
+
+    ridx = build_kd_index(r, tile_size=64)
+    qidx = build_kd_index(q, tile_size=32)
+    feat_tiles = tile_payload(ridx, jnp.asarray(f_r)[:, None])[..., 0]
+    qvalid = np.asarray(qidx.order) >= 0
+    qsafe = np.maximum(np.asarray(qidx.order), 0)
+    query_feat = jnp.asarray(
+        np.where(qvalid, f_q[qsafe], 0.0).astype(np.float32)
+    ).reshape(qidx.n_tiles, qidx.tile_size)
+
+    d_v, idx_v = block_nn(
+        qidx.tiles, ridx, k_tiles=10, query_feat=query_feat,
+        feat_tiles=feat_tiles, feat_weight=w,
+    )
+    # brute 4D reference
+    qs = np.asarray(qidx.tiles).reshape(-1, 3)
+    fq = np.asarray(query_feat).reshape(-1)
+    d4 = (
+        ((qs[:, None, :] - r[None, :, :]) ** 2).sum(-1)
+        + w * w * (fq[:, None] - f_r[None, :]) ** 2
+    )
+    ref_idx = d4.argmin(1)
+    ref_d = d4.min(1)
+    got_d = np.asarray(d_v)[qvalid]
+    agree = (np.asarray(idx_v)[qvalid] == ref_idx[qvalid]).mean()
+    assert agree > 0.995, agree
+    np.testing.assert_allclose(
+        got_d[np.asarray(idx_v)[qvalid] == ref_idx[qvalid]],
+        ref_d[qvalid][np.asarray(idx_v)[qvalid] == ref_idx[qvalid]],
+        rtol=1e-3, atol=1e-5,
+    )
