@@ -90,6 +90,11 @@ def cmd_register(args) -> int:
         args.ndt_cell = 0
     cfg = _icp_config(args)
     src_weight = src.feat(args.weight_feat) if args.weight_feat else None
+    if src_weight is not None and (args.ndt_cell or args.pyramid_levels > 1):
+        raise SystemExit(
+            "--weight-feat is only wired into the plain register path "
+            "(not --objective ndt / --pyramid-levels)"
+        )
     if args.ndt_cell:
         from icpx.registration.ndt import register_ndt
 

@@ -58,6 +58,11 @@ def sharded_register(
     replicated index otherwise) — the O(N*K*S) scalable path, usable at
     1M+ points/device where brute O(N^2/shard) is not.
     """
+    if config.feat_nn:
+        raise ValueError(
+            "feature-augmented matching (feat_nn) is not wired into the "
+            "sharded paths yet; use single-device register()"
+        )
     n_shards = mesh.shape[points_axis]
     if src.capacity % n_shards or tgt.capacity % n_shards:
         raise ValueError(

@@ -94,7 +94,10 @@ class ICPConfig:
     # geometrically degenerate scenes (planes, corridors) where pure
     # point-to-surface ICP is rank-deficient. Scale the weight so
     # feat_nn_weight * (typical feature contrast) ~ the spatial scale
-    # you want it to pin. "" disables.
+    # you want it to pin. "" disables. NOTE: correspondence distances
+    # (max_corr_dist gating, trim_fraction, robust scaling, reported
+    # diff/rmse) are then in the AUGMENTED metric — widen max_corr_dist
+    # by the expected feature term if it was tuned spatially.
     feat_nn: str = ""
     feat_nn_weight: float = 0.0
     # Rank refine-phase candidate tiles ONCE at the coarse-aligned
@@ -125,6 +128,12 @@ class ICPConfig:
             raise ValueError("tile_index must be kd|morton")
         if self.block_fused not in ("auto", "on", "off"):
             raise ValueError("block_fused must be auto|on|off")
+        if bool(self.feat_nn) != (self.feat_nn_weight > 0):
+            raise ValueError(
+                "feature matching needs BOTH feat_nn (channel name) and "
+                "feat_nn_weight > 0 — setting one without the other is "
+                "almost certainly a mistake"
+            )
 
     def tile_builder(self):
         from icpx.kernels.blocknn import build_kd_index, build_tile_index
@@ -501,9 +510,7 @@ def _register_jit(
 
         sq = config.block_q_tile
         tq = src_xyz.shape[0] // sq
-        fused = config.resolve_fused() and not (
-            bool(config.feat_nn) and config.feat_nn_weight > 0
-        )
+        fused = config.resolve_fused() and not use_feat
         group = config.block_group if tq % config.block_group == 0 else 1
 
         def make_nn(n_tiles, tile_rows, k_tiles, cand=None, qfeat=None):

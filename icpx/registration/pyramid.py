@@ -58,7 +58,23 @@ def morton_stratified_subsample(
     normals = None
     if cloud.normals is not None:
         normals = jnp.where(valid[:, None], cloud.normals[safe], 0.0)
-    return PointCloud(xyz=xyz, mask=valid & cloud.mask[safe], normals=normals)
+    covs = None
+    if cloud.covs is not None:
+        covs = jnp.where(
+            valid[:, None, None], cloud.covs[safe],
+            jnp.eye(3, dtype=jnp.float32),
+        )
+    feats = None
+    if cloud.feats is not None:
+        feats = jnp.where(valid[:, None], cloud.feats[safe], 0.0)
+    return PointCloud(
+        xyz=xyz,
+        mask=valid & cloud.mask[safe],
+        normals=normals,
+        covs=covs,
+        feats=feats,
+        feat_names=cloud.feat_names,
+    )
 
 
 def register_pyramid(

@@ -74,3 +74,25 @@ def test_pyramid_with_init():
     res, _ = register_pyramid(src, tgt, cfg, init=rough)
     rot_err, t_err = res.transform.distance_to(gt)
     assert float(rot_err) < 1e-2 and float(t_err) < 1e-2
+
+def test_pyramid_carries_payload_features():
+    """morton_stratified_subsample keeps feats/covs, so pyramid levels
+    can run feature-augmented matching (review regression)."""
+    import numpy as np
+
+    from icpx.cloud import PointCloud
+    from icpx.registration.pyramid import morton_stratified_subsample
+
+    n = 1024
+    rng = np.random.default_rng(0)
+    xyz = rng.normal(size=(n, 3)).astype(np.float32)
+    feats = rng.uniform(size=(n, 1)).astype(np.float32)
+    cloud = PointCloud.create(xyz, feats=feats, feat_names=("intensity",))
+    sub = morton_stratified_subsample(cloud, 4)
+    assert sub.feat_names == ("intensity",)
+    assert sub.feats.shape[0] == sub.xyz.shape[0]
+    valid = np.asarray(sub.mask)
+    # subsampled feature values come from the original column
+    assert set(np.asarray(sub.feats)[valid, 0]).issubset(
+        set(feats[:, 0].tolist())
+    )
