@@ -35,9 +35,21 @@ class VoxelMap:
     age: jax.Array  # (M,) int32 insertion counter (lower = older)
     cell_size: jax.Array  # scalar
     counter: jax.Array  # scalar int32, monotonically increasing
+    # optional (M, D) payload channels (intensity/rgb/...), carried from
+    # inserted scans; None when scans carry none
+    feats: Optional[jax.Array] = None
+    feat_names: Optional[tuple] = struct.field(
+        pytree_node=False, default=None
+    )
 
     @classmethod
-    def create(cls, capacity: int, cell_size: float) -> "VoxelMap":
+    def create(
+        cls,
+        capacity: int,
+        cell_size: float,
+        *,
+        feat_names: Optional[tuple] = None,
+    ) -> "VoxelMap":
         return cls(
             xyz=jnp.full((capacity, 3), PAD_COORD, jnp.float32),
             normals=jnp.zeros((capacity, 3), jnp.float32),
@@ -45,6 +57,12 @@ class VoxelMap:
             age=jnp.full((capacity,), jnp.iinfo(jnp.int32).max, jnp.int32),
             cell_size=jnp.float32(cell_size),
             counter=jnp.int32(0),
+            feats=(
+                jnp.zeros((capacity, len(feat_names)), jnp.float32)
+                if feat_names
+                else None
+            ),
+            feat_names=tuple(feat_names) if feat_names else None,
         )
 
     @property
@@ -55,7 +73,13 @@ class VoxelMap:
         return jnp.sum(self.mask.astype(jnp.int32))
 
     def as_cloud(self) -> PointCloud:
-        return PointCloud(xyz=self.xyz, mask=self.mask, normals=self.normals)
+        return PointCloud(
+            xyz=self.xyz,
+            mask=self.mask,
+            normals=self.normals,
+            feats=self.feats,
+            feat_names=self.feat_names,
+        )
 
 
 _BIGC = 2**30  # out-of-range cell coord marking invalid rows (sorts last)
@@ -90,11 +114,23 @@ def insert_scan(
     """
     if scan.normals is None:
         raise ValueError("scan must carry normals")
+    if (vmap.feats is not None) and (
+        scan.feats is None or scan.feat_names != vmap.feat_names
+    ):
+        raise ValueError(
+            f"map carries payload channels {vmap.feat_names}; inserted "
+            f"scans must carry the same (got {scan.feat_names})"
+        )
     w_xyz = pose.apply(scan.xyz)
     w_nrm = pose.rotate(scan.normals)
 
     all_xyz = jnp.concatenate([vmap.xyz, w_xyz])
     all_nrm = jnp.concatenate([vmap.normals, w_nrm])
+    all_feat = (
+        jnp.concatenate([vmap.feats, scan.feats])
+        if vmap.feats is not None
+        else None
+    )
     all_mask = jnp.concatenate([vmap.mask, scan.mask])
     new_age = jnp.full(
         (scan.capacity,), vmap.counter + 1, jnp.int32
@@ -130,4 +166,10 @@ def insert_scan(
         age=jnp.where(kept, all_age[sel], jnp.int32(2**31 - 1)),
         cell_size=vmap.cell_size,
         counter=vmap.counter + 1,
+        feats=(
+            jnp.where(kept[:, None], all_feat[sel], 0.0)
+            if all_feat is not None
+            else None
+        ),
+        feat_names=vmap.feat_names,
     )

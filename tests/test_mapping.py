@@ -106,3 +106,36 @@ def test_loop_closure_detection():
             rot_err, t_err = T.distance_to(gt_rel)
             assert float(rot_err) < 5e-3 and float(t_err) < 5e-3
             assert rmse < 0.01
+
+def test_voxel_map_carries_payload(rng):
+    """Map payload channels: inserted scans' intensity rides dedup,
+    eviction, and as_cloud (scan-to-map keeps sensor channels)."""
+    import jax.numpy as jnp
+
+    from icpx.cloud import PointCloud
+    from icpx.geometry.se3 import SE3
+    from icpx.odometry.mapping import VoxelMap, insert_scan
+    from icpx.kernels.normals import estimate_normals
+
+    n = 512
+    xyz = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    inten = rng.uniform(0, 1, (n, 1)).astype(np.float32)
+    scan = estimate_normals(
+        PointCloud.create(xyz, feats=inten, feat_names=("intensity",)),
+        k=8,
+    )
+    vmap = VoxelMap.create(1024, 0.1, feat_names=("intensity",))
+    vmap = insert_scan(vmap, scan, SE3.identity())
+    cloud = vmap.as_cloud()
+    assert cloud.feat_names == ("intensity",)
+    mask = np.asarray(cloud.mask)
+    vals = np.asarray(cloud.feats)[mask, 0]
+    assert set(np.round(vals, 5)).issubset(
+        set(np.round(inten[:, 0], 5).tolist())
+    )
+    # mismatched channels are rejected loudly
+    bare = estimate_normals(PointCloud.create(xyz), k=8)
+    import pytest
+
+    with pytest.raises(ValueError, match="payload channels"):
+        insert_scan(vmap, bare, SE3.identity())
