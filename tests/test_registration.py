@@ -284,3 +284,26 @@ def test_feature_matching_pins_degenerate_plane():
     # unrecovered (finite-plane edge effects give partial observability)
     assert float(t_geo) > 3.0 * float(t_feat), (
         float(t_geo), float(t_feat))
+
+
+def test_ndt_d2d_mode():
+    """Distribution-to-distribution NDT: both clouds collapse to cells,
+    registration still recovers the transform from ~n/cell_size
+    correspondences."""
+    import numpy as np
+
+    from icpx.geometry.transforms import make_rigid_perturbation
+    from icpx.io.loaders import synthetic_surface
+    from icpx.registration.ndt import register_ndt
+
+    n = 20000
+    xyz = synthetic_surface(n, seed=3)
+    src = PointCloud.create(xyz)
+    gt = make_rigid_perturbation(angle=0.1, translation=(0.06, -0.03, 0.02))
+    rng = np.random.default_rng(5)
+    tgt = PointCloud.create(np.asarray(gt.apply(src.xyz))[:n][
+        rng.permutation(n)])
+    res = register_ndt(src, tgt, cell_size=64, mode="d2d")
+    rot_err, t_err = res.transform.distance_to(gt)
+    assert float(rot_err) < 1e-2 and float(t_err) < 3e-2, (
+        float(rot_err), float(t_err))
