@@ -307,3 +307,31 @@ def test_feature_augmented_nn(rng):
         ref_d[qvalid][np.asarray(idx_v)[qvalid] == ref_idx[qvalid]],
         rtol=1e-3, atol=1e-5,
     )
+
+
+def test_feature_augmented_nn_chunked(rng):
+    """The chunked (lax.map) path carries feature channels identically
+    to the unchunked one."""
+    from icpx.kernels.blocknn import build_kd_index, tile_payload
+
+    n = 4096
+    r = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    f_r = rng.uniform(0, 1, (n,)).astype(np.float32)
+    q = (r + rng.normal(0, 0.01, r.shape)).astype(np.float32)
+    f_q = rng.uniform(0, 1, (n,)).astype(np.float32)
+
+    ridx = build_kd_index(r, tile_size=64)
+    qidx = build_kd_index(q, tile_size=32)
+    feat_tiles = tile_payload(ridx, jnp.asarray(f_r)[:, None])[..., 0]
+    qvalid = np.asarray(qidx.order) >= 0
+    qsafe = np.maximum(np.asarray(qidx.order), 0)
+    query_feat = jnp.asarray(
+        np.where(qvalid, f_q[qsafe], 0.0).astype(np.float32)
+    ).reshape(qidx.n_tiles, qidx.tile_size)
+
+    kw = dict(k_tiles=6, query_feat=query_feat, feat_tiles=feat_tiles,
+              feat_weight=0.7)
+    d_a, i_a = block_nn(qidx.tiles, ridx, **kw)
+    d_b, i_b = block_nn(qidx.tiles, ridx, max_chunk=16, **kw)
+    np.testing.assert_array_equal(np.asarray(i_a), np.asarray(i_b))
+    np.testing.assert_allclose(np.asarray(d_a), np.asarray(d_b), rtol=1e-6)
