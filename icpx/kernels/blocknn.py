@@ -592,13 +592,14 @@ def tile_payload(index: TileIndex, payload: jax.Array) -> jax.Array:
     return flat.reshape(t, s, payload.shape[1])
 
 
-@partial(jax.jit, static_argnames=("k_tiles",))
+@partial(jax.jit, static_argnames=("k_tiles", "max_chunk"))
 def block_nn_payload(
     query_tiles: jax.Array,
     index: TileIndex,
     payload_tiles: jax.Array,
     *,
     k_tiles: int = 8,
+    max_chunk: int = 32768,
 ) -> Tuple[jax.Array, jax.Array]:
     """Like `block_nn` but returns the matched payload row per query
     instead of an index — the row is selected in-tile by a one-hot MXU
@@ -614,6 +615,17 @@ def block_nn_payload(
     """
     tq, sq, _ = query_tiles.shape
     d_pl = payload_tiles.shape[2]
+    if tq > max_chunk:
+        qt, n_chunks, chunk = _pad_chunks(query_tiles, max_chunk)
+        d, pl = jax.lax.map(
+            lambda qc: block_nn_payload(
+                qc, index, payload_tiles, k_tiles=k_tiles,
+                max_chunk=max_chunk,
+            ),
+            qt,
+        )
+        n = tq * sq
+        return d.reshape(-1)[:n], pl.reshape(-1, d_pl)[:n]
     cand_tiles, _ = _candidate_tiles(query_tiles, index, k_tiles)
 
     q4 = jnp.concatenate(

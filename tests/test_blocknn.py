@@ -335,3 +335,22 @@ def test_feature_augmented_nn_chunked(rng):
     d_b, i_b = block_nn(qidx.tiles, ridx, max_chunk=16, **kw)
     np.testing.assert_array_equal(np.asarray(i_a), np.asarray(i_b))
     np.testing.assert_allclose(np.asarray(d_a), np.asarray(d_b), rtol=1e-6)
+
+
+def test_block_nn_payload_chunked(rng):
+    from icpx.kernels.blocknn import (
+        block_nn_payload, build_kd_index, tile_payload,
+    )
+
+    n = 2048
+    r = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    q = (r + rng.normal(0, 0.01, r.shape)).astype(np.float32)
+    ridx = build_kd_index(r, tile_size=64)
+    qidx = build_kd_index(q, tile_size=32)
+    pl = tile_payload(ridx, jnp.asarray(r))
+    d_a, p_a = block_nn_payload(qidx.tiles, ridx, pl, k_tiles=6)
+    d_b, p_b = block_nn_payload(
+        qidx.tiles, ridx, pl, k_tiles=6, max_chunk=8
+    )
+    np.testing.assert_allclose(np.asarray(d_a), np.asarray(d_b), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(p_a), np.asarray(p_b))
