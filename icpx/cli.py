@@ -32,6 +32,11 @@ def _add_icp_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--weight-feat", default=None,
                    help="payload column used as per-point source weight "
                         "(e.g. a confidence channel)")
+    p.add_argument("--feat-nn", default=None,
+                   help="payload column for feature-augmented (4D-metric) "
+                        "correspondence matching, e.g. intensity")
+    p.add_argument("--feat-nn-weight", type=float, default=1.0,
+                   help="feature weight w in ||p-q||^2 + w^2 (f_p-f_q)^2")
     p.add_argument("--max-iters", type=int, default=10,
                    help="outer iterations (reference: 10, myicp.cpp:6)")
     p.add_argument("--diff-threshold", type=float, default=1.0,
@@ -61,6 +66,10 @@ def _icp_config(args):
         max_corr_dist=args.max_corr_dist,
         robust=args.robust,
         nn_method=args.nn,
+        feat_nn=getattr(args, "feat_nn", None) or "",
+        feat_nn_weight=(
+            args.feat_nn_weight if getattr(args, "feat_nn", None) else 0.0
+        ),
     )
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)
