@@ -35,8 +35,9 @@ def _add_icp_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--feat-nn", default=None,
                    help="payload column for feature-augmented (4D-metric) "
                         "correspondence matching, e.g. intensity")
-    p.add_argument("--feat-nn-weight", type=float, default=1.0,
-                   help="feature weight w in ||p-q||^2 + w^2 (f_p-f_q)^2")
+    p.add_argument("--feat-nn-weight", type=float, default=None,
+                   help="feature weight w in ||p-q||^2 + w^2 (f_p-f_q)^2 "
+                        "(requires --feat-nn; default 1.0)")
     p.add_argument("--max-iters", type=int, default=10,
                    help="outer iterations (reference: 10, myicp.cpp:6)")
     p.add_argument("--diff-threshold", type=float, default=1.0,
@@ -50,6 +51,16 @@ def _add_icp_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--pyramid-levels", type=int, default=1)
     p.add_argument("--config", type=Path, default=None,
                    help="JSON file of ICPConfig overrides")
+
+
+def _resolve_feat_weight(args) -> float:
+    has_nn = bool(getattr(args, "feat_nn", None))
+    w = getattr(args, "feat_nn_weight", None)
+    if w is not None and not has_nn:
+        raise SystemExit("--feat-nn-weight requires --feat-nn <channel>")
+    if not has_nn:
+        return 0.0
+    return 1.0 if w is None else w
 
 
 def _icp_config(args):
@@ -67,9 +78,7 @@ def _icp_config(args):
         robust=args.robust,
         nn_method=args.nn,
         feat_nn=getattr(args, "feat_nn", None) or "",
-        feat_nn_weight=(
-            args.feat_nn_weight if getattr(args, "feat_nn", None) else 0.0
-        ),
+        feat_nn_weight=_resolve_feat_weight(args),
     )
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)
@@ -98,6 +107,11 @@ def cmd_register(args) -> int:
     else:
         args.ndt_cell = 0
     cfg = _icp_config(args)
+    if getattr(args, "feat_nn", None) and args.ndt_cell:
+        raise SystemExit(
+            "--feat-nn does not compose with --objective ndt (cells carry "
+            "no payload channels)"
+        )
     src_weight = src.feat(args.weight_feat) if args.weight_feat else None
     if src_weight is not None and (args.ndt_cell or args.pyramid_levels > 1):
         raise SystemExit(

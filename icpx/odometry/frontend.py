@@ -231,7 +231,11 @@ def run_odometry(
     if use_map:
         from icpx.odometry.mapping import VoxelMap, insert_scan
 
-        vmap = VoxelMap.create(config.map_capacity, config.map_cell)
+        vmap = VoxelMap.create(
+            config.map_capacity,
+            config.map_cell,
+            feat_names=frames[0].feat_names,
+        )
         vmap = insert_scan(vmap, frames[0], SE3.identity())
 
     win = None
@@ -323,7 +327,11 @@ def run_odometry(
             prev_rel = kf_pose.inverse() @ poses[ck.frame_index]
         if use_map:
             # rebuild the map from the checkpointed keyframes
-            vmap = VoxelMap.create(config.map_capacity, config.map_cell)
+            vmap = VoxelMap.create(
+                config.map_capacity,
+                config.map_cell,
+                feat_names=frames[0].feat_names,
+            )
             for i in kf_indices:
                 vmap = insert_scan(vmap, frames[i], poses[i])
         if win is not None:

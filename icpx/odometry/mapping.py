@@ -114,12 +114,13 @@ def insert_scan(
     """
     if scan.normals is None:
         raise ValueError("scan must carry normals")
-    if (vmap.feats is not None) and (
-        scan.feats is None or scan.feat_names != vmap.feat_names
+    if (vmap.feat_names or scan.feat_names) and (
+        scan.feat_names != vmap.feat_names
     ):
         raise ValueError(
-            f"map carries payload channels {vmap.feat_names}; inserted "
-            f"scans must carry the same (got {scan.feat_names})"
+            f"map payload channels {vmap.feat_names} != scan's "
+            f"{scan.feat_names}; create the map with matching feat_names "
+            "(silently dropping a channel would be worse)"
         )
     w_xyz = pose.apply(scan.xyz)
     w_nrm = pose.rotate(scan.normals)
