@@ -33,3 +33,17 @@ def rng():
 @pytest.fixture
 def key():
     return jax.random.PRNGKey(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Bound live compiled-executable state across the (200+ test) suite.
+
+    With the full suite's accumulated executables, XLA's CPU backend
+    segfaults inside backend_compile on a later module's (individually
+    healthy) jit — reproducibly at the same suite position, never in
+    isolation. Clearing jax's caches at module boundaries bounds that
+    state; cross-module cache reuse is minimal anyway (different shapes).
+    """
+    yield
+    jax.clear_caches()
