@@ -302,7 +302,7 @@ def bench_odometry(args):
     print(
         f"# odometry frames={len(frames)} pts/scan={n_pts} "
         f"wall={wall * 1e3:.0f}ms fps={len(frames) / wall:.1f} "
-        f"ATE={ate:.4f}m keyframes={int(np_.asarray(is_kf).sum())}",
+        f"ATE={ate:.4f}m keyframes={int(np_.asarray(out.is_keyframe).sum())}",
         file=sys.stderr,
     )
 
