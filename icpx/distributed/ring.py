@@ -99,6 +99,9 @@ def ring_block_nn(
     axis_name: str,
     *,
     k_tiles: int = 8,
+    query_feat: jax.Array | None = None,
+    feat_tiles: jax.Array | None = None,
+    feat_weight: float = 1.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Block (tile-index) NN of local query tiles against the UNION of all
     devices' target shards — the scalable-cloud ring pass (SURVEY §2.3
@@ -114,6 +117,11 @@ def ring_block_nn(
     quadratic term is what made 1M+/device shards unusable (VERDICT
     round 1, missing #1).
 
+    Feature-augmented matching (`query_feat` (Tq, Sq) local scalar
+    channel, `feat_tiles` (T, S) per-shard target channel) runs the 4D
+    metric exactly as `block_nn`; the target feature tiles rotate around
+    the ring alongside the index and payload.
+
     Returns (sqdist (Nq,), payload rows (Nq, D)); inf distance where no
     shard held a valid candidate (payload zeros).
     """
@@ -123,11 +131,16 @@ def ring_block_nn(
     perm = [(j, (j - 1) % n_dev) for j in range(n_dev)]
     nq = query_tiles.shape[0] * query_tiles.shape[1]
     d_pl = payload_tiles.shape[2]
+    has_feat = query_feat is not None
+    ft0 = feat_tiles if has_feat else jnp.zeros((1, 1), jnp.float32)
 
     def fold(carry, _):
-        best_d, best_pl, idx_cur, pl_cur = carry
+        best_d, best_pl, idx_cur, pl_cur, ft_cur = carry
         d, pl = block_nn_payload(
-            query_tiles, idx_cur, pl_cur, k_tiles=k_tiles
+            query_tiles, idx_cur, pl_cur, k_tiles=k_tiles,
+            query_feat=query_feat if has_feat else None,
+            feat_tiles=ft_cur if has_feat else None,
+            feat_weight=feat_weight,
         )
         better = d < best_d
         best_d = jnp.where(better, d, best_d)
@@ -136,13 +149,17 @@ def ring_block_nn(
             lambda x: lax.ppermute(x, axis_name, perm), idx_cur
         )
         pl_next = lax.ppermute(pl_cur, axis_name, perm)
-        return (best_d, best_pl, idx_next, pl_next), None
+        ft_next = (
+            lax.ppermute(ft_cur, axis_name, perm) if has_feat else ft_cur
+        )
+        return (best_d, best_pl, idx_next, pl_next, ft_next), None
 
     init = (
         jnp.full((nq,), jnp.inf, jnp.float32),
         jnp.zeros((nq, d_pl), payload_tiles.dtype),
         index,
         payload_tiles,
+        ft0,
     )
     (best_d, best_pl, *_), _ = lax.scan(fold, init, None, length=n_dev)
     return best_d, best_pl

@@ -58,10 +58,11 @@ def sharded_register(
     replicated index otherwise) — the O(N*K*S) scalable path, usable at
     1M+ points/device where brute O(N^2/shard) is not.
     """
-    if config.feat_nn:
+    use_feat = bool(config.feat_nn) and config.feat_nn_weight > 0
+    if use_feat and config.resolve_nn(tgt.capacity) != "block":
         raise ValueError(
-            "feature-augmented matching (feat_nn) is not wired into the "
-            "sharded paths yet; use single-device register()"
+            "feature-augmented matching (feat_nn) needs the block NN "
+            "path (same constraint as single-device register)"
         )
     n_shards = mesh.shape[points_axis]
     if src.capacity % n_shards or tgt.capacity % n_shards:
@@ -116,6 +117,12 @@ def sharded_register(
     if init is None:
         init = SE3.identity()
     nn_method = config.resolve_nn(tgt.capacity)
+    if use_feat:
+        src_f = src.feat(config.feat_nn)
+        tgt_f = tgt.feat(config.feat_nn)
+    else:  # dummy lanes keep the shard_map signature static
+        src_f = jnp.zeros((src.capacity,), jnp.float32)
+        tgt_f = jnp.zeros((tgt.capacity,), jnp.float32)
 
     shard1 = P(points_axis)
     shard2 = P(points_axis, None)
@@ -134,16 +141,18 @@ def sharded_register(
             shard2,  # src xyz
             shard1,  # src mask
             shard2,  # src normals
+            shard1,  # src feature channel (dummy when feat_nn off)
             tgt_spec2,  # tgt xyz
             tgt_spec1,  # tgt mask
             tgt_spec2,  # tgt normals
+            tgt_spec1,  # tgt feature channel
             P(),  # init R  (replicated; SE3 leaves passed separately)
             P(),  # init t
         ),
         out_specs=jax.tree_util.tree_map(lambda _: P(), result_struct()),
         check_vma=False,
     )
-    def run(s_xyz, s_mask, s_n, t_xyz, t_mask, t_n, init_R, init_t):
+    def run(s_xyz, s_mask, s_n, s_f, t_xyz, t_mask, t_n, t_f, init_R, init_t):
         if nn_method == "block":
             # Per-shard spatial sort of the local source (point order is
             # irrelevant to the psum'd normal equations) + tile-index NN:
@@ -163,8 +172,18 @@ def sharded_register(
             s_n = jnp.where(svalid[:, None], s_n[ssafe], 0.0)
             sq = config.block_q_tile
             local_tq = s_xyz.shape[0] // sq
+            qf = (
+                jnp.where(svalid, s_f[ssafe], 0.0).reshape(local_tq, sq)
+                if use_feat
+                else None
+            )
 
             t_idx = builder(t_xyz, t_mask, tile_size=config.block_tile)
+            ft = (
+                tile_payload(t_idx, t_f[:, None])[..., 0]
+                if use_feat
+                else None
+            )
             if ring:
                 pl_tiles = tile_payload(
                     t_idx, jnp.concatenate([t_xyz, t_n], axis=1)
@@ -177,6 +196,9 @@ def sharded_register(
                         pl_tiles,
                         points_axis,
                         k_tiles=config.block_k,
+                        query_feat=qf,
+                        feat_tiles=ft,
+                        feat_weight=config.feat_nn_weight,
                     )
                     return pl[:, :3], pl[:, 3:], jnp.sqrt(d2)
 
@@ -187,6 +209,9 @@ def sharded_register(
                         p.reshape(local_tq, sq, 3),
                         t_idx,
                         k_tiles=config.block_k,
+                        query_feat=qf,
+                        feat_tiles=ft,
+                        feat_weight=config.feat_nn_weight,
                     )
                     return t_xyz[idx], t_n[idx], jnp.sqrt(d2)
 
@@ -229,7 +254,9 @@ def sharded_register(
         )
 
     res = run(
-        src.xyz, src.mask, src_n, tgt.xyz, tgt.mask, tgt_n, init.R, init.t
+        src.xyz, src.mask, src_n, src_f,
+        tgt.xyz, tgt.mask, tgt_n, tgt_f,
+        init.R, init.t,
     )
     return res.replace(transform=unshift @ res.transform @ shift)
 
@@ -254,12 +281,27 @@ def sharded_register_pairs(
     collective under vmap), while independent pairs proceed in parallel
     along `pairs_axis` with no cross-talk. Target is replicated along
     `points_axis` here (scan-to-scan odometry shapes).
+
+    The `*_normals` arguments are the per-point auxiliary channel and are
+    width-agnostic: (B, N, 3) normals for symmetric/p2plane, (B, N, 9)
+    row-flattened covariances for objective="gicp" (pass
+    `cloud.covs.reshape(n, 9)` per frame; `estimate_covariances` first).
     """
+    aux_w = src_normals.shape[2]
     if config.objective == "gicp":
-        raise ValueError(
-            "sharded_register_pairs carries a normals aux channel; for "
-            "GICP use sharded_register per pair (covariance plumbing)"
-        )
+        if aux_w != 9 or tgt_normals.shape[2] != 9:
+            raise ValueError(
+                "gicp pairs need (B, N, 9) flattened covariances in the "
+                f"aux channel, got widths {aux_w}/{tgt_normals.shape[2]}"
+            )
+        from icpx.registration.icp import gicp_cov_rot as aux_rot
+    else:
+        if aux_w != 3:
+            raise ValueError(
+                f"aux channel width {aux_w} != 3 (normals) for "
+                f"objective={config.objective!r}"
+            )
+        aux_rot = None
     b, n = src_xyz.shape[0], src_xyz.shape[1]
     dp = mesh.shape[pairs_axis]
     sp = mesh.shape[points_axis]
@@ -304,7 +346,8 @@ def sharded_register_pairs(
                 return tx[idx], tn[idx], jnp.sqrt(d2)
 
             res = _icp_scan(
-                config, sx, sm, sn, SE3.identity(), nn_fn, reduce
+                config, sx, sm, sn, SE3.identity(), nn_fn, reduce,
+                aux_rot=aux_rot,
             )
             return res.replace(transform=unshift @ res.transform @ shift)
 

@@ -600,15 +600,26 @@ def block_nn_payload(
     *,
     k_tiles: int = 8,
     max_chunk: int = 32768,
+    cand_tiles: Optional[jax.Array] = None,
+    query_feat: Optional[jax.Array] = None,
+    feat_tiles: Optional[jax.Array] = None,
+    feat_weight: float = 1.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Like `block_nn` but returns the matched payload row per query
     instead of an index — the row is selected in-tile by a one-hot MXU
     matmul (a per-tile take_along_axis is ~4x slower at 1M points, and a
     global (N, D) gather needs the index round-trip).
 
-    Used by shard-local paths that cannot gather from a remote array;
-    single-device ICP uses `block_nn` + row gathers, which measured
-    equally fast and returns exact rows trivially.
+    Used by shard-local paths that cannot gather from a remote array, AND
+    by single-device ICP on large clouds: the (N, D) sorted-table row
+    gather scales super-linearly with table size (55 -> 263 ms/iter from
+    1M -> 8M points), while in-fold selection only touches candidate
+    tiles (A/B on chip at 8M: 282 vs 380 ms/iter full refine). At 1M the
+    coherent gather is slightly ahead (28 vs 32.5 ms/iter) — see
+    ICPConfig.payload_mode.
+
+    `cand_tiles`, `query_feat`/`feat_tiles`/`feat_weight` behave exactly
+    as in `block_nn` (frozen refine candidates; 4D augmented metric).
 
     Returns (sqdist (Tq*Sq,), payload (Tq*Sq, D)); inf distance on pad
     or miss (payload zeros).
@@ -617,20 +628,44 @@ def block_nn_payload(
     d_pl = payload_tiles.shape[2]
     if tq > max_chunk:
         qt, n_chunks, chunk = _pad_chunks(query_tiles, max_chunk)
+        parts = [qt]
+
+        def pad2(arr, fill):
+            pad_c = qt.shape[0] * qt.shape[1] - tq
+            if pad_c:
+                arr = jnp.concatenate(
+                    [arr, jnp.full((pad_c,) + arr.shape[1:], fill,
+                                   arr.dtype)]
+                )
+            return arr.reshape(qt.shape[0], qt.shape[1], *arr.shape[1:])
+
+        have_cand = cand_tiles is not None
+        have_feat = query_feat is not None
+        if have_cand:
+            parts.append(pad2(cand_tiles, 0))
+        if have_feat:
+            parts.append(pad2(query_feat, 0.0))
         d, pl = jax.lax.map(
-            lambda qc: block_nn_payload(
-                qc, index, payload_tiles, k_tiles=k_tiles,
+            lambda xs: block_nn_payload(
+                xs[0], index, payload_tiles, k_tiles=k_tiles,
                 max_chunk=max_chunk,
+                cand_tiles=xs[1] if have_cand else None,
+                query_feat=xs[1 + have_cand] if have_feat else None,
+                feat_tiles=feat_tiles,
+                feat_weight=feat_weight,
             ),
-            qt,
+            tuple(parts),
         )
         n = tq * sq
         return d.reshape(-1)[:n], pl.reshape(-1, d_pl)[:n]
-    cand_tiles, _ = _candidate_tiles(query_tiles, index, k_tiles)
+    if cand_tiles is None:
+        cand_tiles, _ = _candidate_tiles(query_tiles, index, k_tiles)
 
-    q4 = jnp.concatenate(
-        [-2.0 * query_tiles, jnp.ones((tq, sq, 1), jnp.float32)], axis=2
-    )
+    lam2 = jnp.float32(feat_weight) ** 2
+    q_ops = [-2.0 * query_tiles, jnp.ones((tq, sq, 1), jnp.float32)]
+    if query_feat is not None:
+        q_ops.append((-2.0 * lam2 * query_feat)[..., None])
+    q4 = jnp.concatenate(q_ops, axis=2)
 
     def fold(carry, kk):
         best_s, best_pl, best_valid = carry
@@ -639,7 +674,14 @@ def block_nn_payload(
         pl = payload_tiles[tid]  # (Tq, S, D)
         rvalid = jnp.max(jnp.abs(r), axis=2) < 1.0e6  # (Tq, S)
         rr = jnp.sum(r * r, axis=2)
-        r4 = jnp.concatenate([r, rr[..., None]], axis=2)
+        if query_feat is not None:
+            f_r = feat_tiles[tid]  # (Tq, S)
+            rr = rr + lam2 * f_r * f_r
+            r4 = jnp.concatenate(
+                [r, rr[..., None], f_r[..., None]], axis=2
+            )
+        else:
+            r4 = jnp.concatenate([r, rr[..., None]], axis=2)
         score = jnp.einsum("tqc,tsc->tqs", q4, r4)
         score = jnp.where(rvalid[:, None, :], score, jnp.inf)
         smin = jnp.min(score, axis=2)  # (Tq, Sq)
@@ -669,6 +711,8 @@ def block_nn_payload(
         fold, init, jnp.arange(cand_tiles.shape[1]), unroll=True
     )
     qq = jnp.sum(query_tiles**2, axis=2)
+    if query_feat is not None:
+        qq = qq + lam2 * query_feat * query_feat
     d = jnp.maximum(best_s + qq, 0.0)
     d = jnp.where(best_valid, d, jnp.inf)
     return d.reshape(-1), best_pl.reshape(tq * sq, d_pl)

@@ -48,21 +48,33 @@ def parallel_odometry(
     """
     from icpx.distributed.sharded_icp import sharded_register_pairs
 
-    if config.objective == "gicp":
-        raise ValueError(
-            "parallel_odometry's pairs path carries a normals aux channel; "
-            "objective='gicp' (covariance aux) is not supported here — use "
-            "run_odometry or sharded_register per pair"
-        )
     f = len(frames)
     if f < 2:
         return [SE3.identity()] * f, [], jnp.zeros((0,), jnp.float32)
-    frames = [
-        fr
-        if fr.normals is not None
-        else estimate_normals(fr, k=config.k_normals)
-        for fr in frames
-    ]
+    if config.objective == "gicp":
+        from icpx.kernels.normals import estimate_covariances
+
+        frames = [
+            fr
+            if fr.covs is not None
+            else estimate_covariances(fr, k=max(config.k_normals, 15))
+            for fr in frames
+        ]
+
+        def aux(fr):
+            return fr.covs.reshape(fr.capacity, 9)
+
+    else:
+        frames = [
+            fr
+            if fr.normals is not None
+            else estimate_normals(fr, k=config.k_normals)
+            for fr in frames
+        ]
+
+        def aux(fr):
+            return fr.normals
+
     n_pairs = f - 1
     dp = mesh.shape[pairs_axis]
     pad = (-n_pairs) % dp
@@ -72,10 +84,10 @@ def parallel_odometry(
     res = sharded_register_pairs(
         jnp.stack([fr.xyz for fr in srcs]),
         jnp.stack([fr.mask for fr in srcs]),
-        jnp.stack([fr.normals for fr in srcs]),
+        jnp.stack([aux(fr) for fr in srcs]),
         jnp.stack([fr.xyz for fr in tgts]),
         jnp.stack([fr.mask for fr in tgts]),
-        jnp.stack([fr.normals for fr in tgts]),
+        jnp.stack([aux(fr) for fr in tgts]),
         config,
         mesh,
         pairs_axis=pairs_axis,

@@ -104,6 +104,15 @@ class ICPConfig:
     # positions instead of every iteration (safe: post-coarse motion is
     # well under a tile extent; selection is ~15% of a 1M registration).
     freeze_refine_candidates: bool = True
+    # How matched target rows (coords + normals/covs) reach the solve:
+    # "gather" = one coherent (N, 3+D) sorted-table row gather per
+    # iteration (fastest at <=1M: 28 vs 32.5 ms/iter); "infold" = one-hot
+    # MXU selection inside the NN fold, table-size-independent (the
+    # gather scales super-linearly: 263 ms/iter at 8M vs 282 total for
+    # the whole in-fold refine — chip A/B 2026-08-19); "auto" switches to
+    # infold at >= payload_infold_threshold target points.
+    payload_mode: str = "auto"
+    payload_infold_threshold: int = 2 * 1024 * 1024
     block_auto_threshold: int = 32768
     # Tile partitioner: "kd" (median-cut, compact boxes — measured 0.01%
     # NN miss at the defaults vs ~5% for Morton ranges on uniform volumes)
@@ -128,6 +137,8 @@ class ICPConfig:
             raise ValueError("tile_index must be kd|morton")
         if self.block_fused not in ("auto", "on", "off"):
             raise ValueError("block_fused must be auto|on|off")
+        if self.payload_mode not in ("auto", "gather", "infold"):
+            raise ValueError("payload_mode must be auto|gather|infold")
         if bool(self.feat_nn) != (self.feat_nn_weight > 0):
             raise ValueError(
                 "feature matching needs BOTH feat_nn (channel name) and "
@@ -152,6 +163,15 @@ class ICPConfig:
             return self.nn_method
         return (
             "block" if tgt_capacity >= self.block_auto_threshold else "brute"
+        )
+
+    def resolve_payload(self, tgt_capacity: int) -> str:
+        if self.payload_mode != "auto":
+            return self.payload_mode
+        return (
+            "infold"
+            if tgt_capacity >= self.payload_infold_threshold
+            else "gather"
         )
 
 
@@ -512,14 +532,29 @@ def _register_jit(
         tq = src_xyz.shape[0] // sq
         fused = config.resolve_fused() and not use_feat
         group = config.block_group if tq % config.block_group == 0 else 1
+        # Payload delivery: the coherent (N, 3+D) row gather wins at <=1M
+        # (28 vs 32.5 ms/iter) but scales super-linearly with table size
+        # (263 ms/iter at 8M); in-fold one-hot MXU selection is
+        # table-size-independent (chip A/B 2026-08-19, NOTES.md).
+        infold = (
+            not fused
+            and config.resolve_payload(tgt.capacity) == "infold"
+        )
+        if infold:
+            from icpx.kernels.blocknn import block_nn_payload
+
+            tgt_pl_tiles = tgt_pl.reshape(
+                tgt_index.n_tiles, tgt_index.tile_size, tgt_pl.shape[1]
+            )
 
         def make_nn(n_tiles, tile_rows, k_tiles, cand=None, qfeat=None):
             def nn_fn(p):
-                # positions + ONE sorted-layout payload-table gather:
-                # in-fold one-hot payload selection measured slightly
-                # slower (32.5 vs 28 ms/iter at 1M, relay-fenced) — the
-                # coherent row gather is cheap in-context.
                 ptiles = p.reshape(n_tiles, tile_rows, 3)
+                qf = (
+                    qfeat.reshape(n_tiles, tile_rows)
+                    if qfeat is not None
+                    else None
+                )
                 if fused:
                     from icpx.kernels.blocknn_pallas import block_nn_fused4
 
@@ -531,16 +566,23 @@ def _register_jit(
                         u_max=config.block_u_max,
                         return_pos=True,
                     )
+                elif infold:
+                    d2, pl = block_nn_payload(
+                        ptiles, tgt_index, tgt_pl_tiles,
+                        k_tiles=k_tiles, cand_tiles=cand,
+                        query_feat=qf,
+                        feat_tiles=tgt_f_tiles if qf is not None else None,
+                        feat_weight=config.feat_nn_weight,
+                    )
+                    # miss/pad rows: d2=inf with zero payload — finite
+                    # coords, zero weight downstream, no NaNs
+                    return pl[:, :3], pl[:, 3:], jnp.sqrt(d2)
                 else:
                     d2, pos = block_nn(
                         ptiles, tgt_index, k_tiles=k_tiles,
                         return_pos=True, cand_tiles=cand,
-                        query_feat=(
-                            qfeat.reshape(n_tiles, tile_rows)
-                            if qfeat is not None
-                            else None
-                        ),
-                        feat_tiles=tgt_f_tiles if qfeat is not None else None,
+                        query_feat=qf,
+                        feat_tiles=tgt_f_tiles if qf is not None else None,
                         feat_weight=config.feat_nn_weight,
                     )
                 # pad/miss rows carry d2=inf (gated by the validity mask

@@ -354,3 +354,93 @@ def test_block_nn_payload_chunked(rng):
     )
     np.testing.assert_allclose(np.asarray(d_a), np.asarray(d_b), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(p_a), np.asarray(p_b))
+
+
+def test_block_nn_payload_matches_gather(rng):
+    """In-fold payload selection (with frozen candidates and a feature
+    channel) returns exactly the rows that block_nn + table gather would
+    — the two ICPConfig.payload_mode delivery paths are interchangeable."""
+    from icpx.kernels.blocknn import (
+        _candidate_tiles, block_nn_payload, build_kd_index, tile_payload,
+    )
+
+    n = 4096
+    r = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    f_r = rng.uniform(0, 1, (n,)).astype(np.float32)
+    q = (r + rng.normal(0, 0.01, r.shape)).astype(np.float32)
+    f_q = rng.uniform(0, 1, (n,)).astype(np.float32)
+    ridx = build_kd_index(r, tile_size=64)
+    qidx = build_kd_index(q, tile_size=32)
+    feat_tiles = tile_payload(ridx, jnp.asarray(f_r)[:, None])[..., 0]
+    qvalid = np.asarray(qidx.order) >= 0
+    qsafe = np.maximum(np.asarray(qidx.order), 0)
+    query_feat = jnp.asarray(
+        np.where(qvalid, f_q[qsafe], 0.0).astype(np.float32)
+    ).reshape(qidx.n_tiles, qidx.tile_size)
+    pl = jnp.concatenate(
+        [ridx.tiles, tile_payload(ridx, jnp.asarray(r)).reshape(
+            ridx.n_tiles, ridx.tile_size, 3)], axis=2
+    )  # (T, S, 6)
+    cand, _ = _candidate_tiles(qidx.tiles, ridx, 6)
+
+    for kw in (
+        dict(),                                   # plain
+        dict(cand_tiles=cand),                    # frozen candidates
+        dict(query_feat=query_feat, feat_tiles=feat_tiles,
+             feat_weight=0.7),                    # 4D metric
+        dict(cand_tiles=cand, query_feat=query_feat,
+             feat_tiles=feat_tiles, feat_weight=0.7),
+        dict(cand_tiles=cand, max_chunk=16),      # chunked + candidates
+    ):
+        d_g, pos = block_nn(
+            qidx.tiles, ridx, k_tiles=6, return_pos=True, **{
+                k: v for k, v in kw.items() if k != "max_chunk"}
+        )
+        pl_g = pl.reshape(-1, 6)[pos]
+        d_f, pl_f = block_nn_payload(qidx.tiles, ridx, pl, k_tiles=6, **kw)
+        ok = np.isfinite(np.asarray(d_g))
+        np.testing.assert_allclose(
+            np.asarray(d_f)[ok], np.asarray(d_g)[ok], rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(pl_f)[ok], np.asarray(pl_g)[ok], atol=1e-6
+        )
+
+
+def test_register_payload_modes_equivalent(rng):
+    """payload_mode=gather and =infold produce identical registrations
+    on the block path (miss rows gated identically)."""
+    from icpx.geometry.transforms import make_rigid_perturbation
+    from icpx.registration.icp import _register_jit
+
+    n = 16384
+    xyz = synthetic_surface(n, seed=3)
+    src = PointCloud.create(xyz, capacity=n)
+    gt = make_rigid_perturbation(angle=0.15, translation=(0.1, -0.05, 0.02))
+    tgt_np = np.asarray(gt.apply(src.xyz))[:n]
+    perm = rng.permutation(n)
+    tgt = PointCloud.create(tgt_np[perm], capacity=n).replace(
+        mask=src.mask[perm]
+    )
+    results = {}
+    for mode in ("gather", "infold"):
+        cfg = ICPConfig(
+            max_iters=8, diff_threshold=0.0, rmse_change_tol=1e-6,
+            nn_method="block", payload_mode=mode,
+        )
+        res = _register_jit(
+            src, tgt, SE3.identity(), cfg, normals_for=("src", "tgt")
+        )
+        rot_err, t_err = res.transform.distance_to(gt)
+        assert float(rot_err) < 5e-3 and float(t_err) < 5e-3, mode
+        results[mode] = res
+    np.testing.assert_allclose(
+        np.asarray(results["gather"].transform.R),
+        np.asarray(results["infold"].transform.R),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(results["gather"].rmse_history),
+        np.asarray(results["infold"].rmse_history),
+        rtol=1e-4, atol=1e-7,
+    )
