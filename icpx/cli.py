@@ -258,6 +258,9 @@ def cmd_odometry(args) -> int:
         icp=icp_cfg,
         keyframe_trans=args.keyframe_trans,
         keyframe_rot=args.keyframe_rot,
+        mode=args.mode,
+        map_cell=args.map_cell,
+        map_capacity=args.map_capacity,
         backend=args.backend,
         window=args.window,
         dynamic_sigma=args.dynamic_sigma,
@@ -269,6 +272,7 @@ def cmd_odometry(args) -> int:
                 ("--resume", getattr(args, "resume", None)),
                 ("--backend", args.backend != "none"),
                 ("--dynamic-sigma", args.dynamic_sigma > 0),
+                ("--mode scan_to_map", args.mode != "scan_to_keyframe"),
             ] if v
         ]
         if incompatible:
@@ -355,7 +359,12 @@ def cmd_odometry(args) -> int:
         closures = detect_loop_closures(
             kf_poses,
             [frames[i] for i in kf],
-            LoopClosureConfig(icp=cfg.icp),
+            LoopClosureConfig(
+                icp=cfg.icp,
+                max_candidates=args.lc_max_candidates,
+                max_candidate_dist=args.lc_max_dist,
+                max_descriptor_dist=args.lc_descriptor_dist,
+            ),
         )
         print(f"loop closures: {len(closures)}")
         if closures:
@@ -511,6 +520,22 @@ def main(argv=None) -> int:
     p.add_argument("--max-corr-dist", type=float, default=2.0)
     p.add_argument("--keyframe-trans", type=float, default=1.0)
     p.add_argument("--keyframe-rot", type=float, default=0.2)
+    p.add_argument("--mode", default="scan_to_keyframe",
+                   choices=("scan_to_keyframe", "scan_to_map"),
+                   help="register against the latest keyframe (default) "
+                        "or a maintained voxel map (drifts less)")
+    p.add_argument("--map-cell", type=float, default=0.1,
+                   help="voxel size for --mode scan_to_map")
+    p.add_argument("--map-capacity", type=int, default=65536,
+                   help="voxel-map point capacity for --mode scan_to_map")
+    p.add_argument("--lc-max-candidates", type=int, default=10,
+                   help="loop-closure verification budget per pass "
+                        "(<= 0 verifies every candidate)")
+    p.add_argument("--lc-max-dist", type=float, default=3.0,
+                   help="believed-position candidate gate (m)")
+    p.add_argument("--lc-descriptor-dist", type=float, default=0.12,
+                   help="appearance-channel descriptor gate "
+                        "(<= 0 disables appearance candidates)")
     p.add_argument("--backend", default="none",
                    choices=["none", "sliding_window"],
                    help="incremental pose-graph backend during the run")

@@ -279,6 +279,40 @@ def build_kd_index(
     )
 
 
+def trim_index(
+    index: TileIndex, capacity: int, multiple: int = 1
+) -> TileIndex:
+    """View of the leading tiles that can contain valid rows.
+
+    Both builders keep valid rows in a GLOBAL PREFIX of the sorted
+    layout: every sort keys invalid/pad rows with +inf-like sentinels
+    (Morton key 2^30, coordinate PAD_COORD), the first sort is global,
+    and each median-cut level splits contiguous segments — so once
+    valids occupy [0, n_valid), every later within-segment sort
+    preserves it. Tiles beyond ceil(capacity / S) are therefore
+    guaranteed pure padding, and slicing them off makes all downstream
+    per-iteration work scale with the actual cloud size instead of the
+    power-of-two padded tile count of `build_kd_index` (a 10M-point
+    cloud otherwise pays 16.8M slots — measured 4.29 s vs ~2.9 s for
+    the full registration on chip).
+
+    `multiple` rounds the kept tile count up: hierarchical candidate
+    ranking wants T % 64 == 0, the coarse phase Tq % 4 == 0.
+    """
+    t, s, _ = index.tiles.shape
+    keep = min(t, -(-capacity // s))
+    keep = min(t, -(-keep // multiple) * multiple)
+    if keep == t:
+        return index
+    return TileIndex(
+        tiles=index.tiles[:keep],
+        box_lo=index.box_lo[:keep],
+        box_hi=index.box_hi[:keep],
+        centroids=index.centroids[:keep],
+        order=index.order[: keep * s],
+    )
+
+
 def coarsen_index(index: TileIndex, factor: int) -> TileIndex:
     """Merge `factor` adjacent tiles into one (T/factor, S*factor, 3)
     index over the SAME flat point order.

@@ -41,6 +41,10 @@ class LoopClosureConfig:
     max_descriptor_dist: float = 0.12
     n_rings: int = 12
     n_sectors: int = 48
+    # verification budget per detection pass: the best-scored candidates
+    # are verified; overflow is WARNED about (never silently dropped) and
+    # survives to later passes if its keyframes stay candidates. <= 0
+    # lifts the cap (verify everything; batched cost grows linearly).
     max_candidates: int = 10
     icp: ICPConfig = ICPConfig(
         objective="symmetric",
@@ -108,7 +112,20 @@ def _candidates(
                 )
                 cands.append((score, i, j, by_pos))
     cands.sort()
-    return cands[: config.max_candidates], profiles
+    if config.max_candidates > 0 and len(cands) > config.max_candidates:
+        import logging
+
+        logging.getLogger("icpx.loopclosure").warning(
+            "loop closure: %d candidates exceed max_candidates=%d; "
+            "verifying the %d best-scored, dropping %d (raise "
+            "max_candidates or <=0 to lift the cap)",
+            len(cands),
+            config.max_candidates,
+            config.max_candidates,
+            len(cands) - config.max_candidates,
+        )
+        cands = cands[: config.max_candidates]
+    return cands, profiles
 
 
 def _initial_guess(i, j, by_pos, keyframe_poses, profiles, config) -> SE3:

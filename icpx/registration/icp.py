@@ -121,7 +121,9 @@ class ICPConfig:
     # Fused Pallas fold (TPU): "auto" = on when the default backend is not
     # CPU, "on"/"off" force. The fused kernel groups `block_group` query
     # tiles per program over a deduplicated candidate union of up to
-    # `block_u_max` ref tiles (see kernels/blocknn_pallas.py take 3).
+    # `block_u_max` ref tiles (kernels/blocknn_pallas.py; the measured
+    # verdict is the fused fold only TIES the XLA fold — it stays opt-in
+    # for its small recall edge, see that module's docstring).
     block_fused: str = "auto"
     block_group: int = 4
     block_u_max: int = 32
@@ -462,8 +464,12 @@ def _register_jit(
         # Sort the source spatially once (rigid motion preserves coherence;
         # point order is irrelevant to the solve). Sentinel-fill invalid.
         builder = config.tile_builder()
-        src_order_idx = builder(
-            src.xyz, src.mask, tile_size=config.block_q_tile
+        from icpx.kernels.blocknn import _SUPER_G, trim_index
+
+        src_order_idx = trim_index(
+            builder(src.xyz, src.mask, tile_size=config.block_q_tile),
+            src.capacity,
+            multiple=4,  # coarse phase needs tq % 4 == 0
         )
         order = src_order_idx.order
         valid = order >= 0
@@ -481,8 +487,10 @@ def _register_jit(
 
             src_f = jnp.where(valid, src.feat(config.feat_nn)[safe], 0.0)
             tgt_f_tiles = None  # built after tgt_index below
-        tgt_index = builder(
-            tgt.xyz, tgt.mask, tile_size=config.block_tile
+        tgt_index = trim_index(
+            builder(tgt.xyz, tgt.mask, tile_size=config.block_tile),
+            tgt.capacity,
+            multiple=_SUPER_G,  # hierarchical ranking needs T % 64 == 0
         )
         if use_feat:
             tgt_f_tiles = _tp(

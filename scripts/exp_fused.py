@@ -34,7 +34,7 @@ jnp_moments = bnn.block_radius_moments
 
 
 def fused_moments(query_tiles, index, radius, *, k_tiles=8, max_chunk=8192):
-    return bp.block_radius_moments_fused4(
+    return bp.block_radius_moments_fused(
         query_tiles, index, radius, k_tiles=k_tiles, group=1,
         u_max=max(k_tiles + 2, 6),
     )

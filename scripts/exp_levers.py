@@ -95,7 +95,7 @@ if "kdseg" in SECTIONS:
     bnn._KD_SEG = 65536
 
 if "moments" in SECTIONS:
-    from icpx.kernels.blocknn_pallas import block_radius_moments_fused4
+    from icpx.kernels.blocknn_pallas import block_radius_moments_fused
     from icpx.kernels.voxel import auto_cell_size
 
     flat = t_idx.tiles.reshape(-1, 3)
@@ -109,14 +109,14 @@ if "moments" in SECTIONS:
 
     @jax.jit
     def mom_fused(eps):
-        return block_radius_moments_fused4(
+        return block_radius_moments_fused(
             t_idx.tiles, t_idx, radius + eps, k_tiles=4, group=1,
             u_max=6,
         )
 
     timed("radius moments jnp (k=4)", mom_jnp)
     try:
-        timed("radius moments fused4 (k=4,u=6)", mom_fused)
+        timed("radius moments fused (k=4,u=6)", mom_fused)
     except Exception as e:
         print(f"fused moments failed: {type(e).__name__} {e}")
 

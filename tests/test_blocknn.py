@@ -166,17 +166,17 @@ def test_kd_index_masked(rng):
     assert np.all(np.abs(tiles[order < 0]) >= 1e6)
 
 
-def test_fused3_matches_brute(rng):
-    """The take-3 fused kernel (interpret mode) returns exact NN on data
-    where the candidate union covers the true tile."""
+def test_fused4_matches_brute(rng):
+    """The kept fused kernel (take 4, interpret mode) returns exact NN on
+    data where the candidate union covers the true tile."""
     from icpx.kernels.blocknn import build_kd_index
-    from icpx.kernels.blocknn_pallas import block_nn_fused3
+    from icpx.kernels.blocknn_pallas import block_nn_fused4
 
     r = rng.uniform(-1, 1, (8000, 3)).astype(np.float32)
     q = rng.uniform(-1, 1, (4000, 3)).astype(np.float32)
     ridx = build_kd_index(r, tile_size=128)
     qidx = build_kd_index(q, tile_size=32)
-    d_f, i_f = block_nn_fused3(
+    d_f, i_f = block_nn_fused4(
         qidx.tiles, ridx, k_tiles=12, group=4, u_max=32, interpret=True
     )
     valid = np.asarray(qidx.order) >= 0
@@ -444,3 +444,62 @@ def test_register_payload_modes_equivalent(rng):
         np.asarray(results["infold"].rmse_history),
         rtol=1e-4, atol=1e-7,
     )
+
+
+def test_trim_index_valid_prefix(rng):
+    """trim_index relies on valid rows occupying a global prefix of the
+    sorted layout; verify it and the view's correctness for both builders
+    at a non-power-of-two size with a holey mask."""
+    from icpx.kernels.blocknn import build_kd_index, trim_index
+
+    n = 5 * 256 + 17
+    xyz = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    mask = rng.uniform(size=n) > 0.2
+    for builder in (build_kd_index, build_tile_index):
+        idx = builder(jnp.asarray(xyz), jnp.asarray(mask), tile_size=64)
+        order = np.asarray(idx.order)
+        n_valid = int(mask.sum())
+        assert (order[:n_valid] >= 0).all(), builder.__name__
+        assert (order[n_valid:] < 0).all(), builder.__name__
+        view = trim_index(idx, n, multiple=4)
+        if view.n_tiles < idx.n_tiles:  # actually trimmed (KD pads to po2)
+            assert view.n_tiles % 4 == 0
+        assert view.n_tiles * 64 >= n
+        # every valid row survives the trim
+        assert (np.asarray(view.order) >= 0).sum() == n_valid
+        # NN through the view matches NN through the full index
+        q = xyz[:256].reshape(4, 64, 3)
+        d_f, i_f = block_nn(jnp.asarray(q), idx, k_tiles=6)
+        d_v, i_v = block_nn(jnp.asarray(q), view, k_tiles=6)
+        np.testing.assert_array_equal(np.asarray(i_f), np.asarray(i_v))
+        np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_v))
+
+
+def test_register_non_pow2_capacity():
+    """Block registration at a non-power-of-two capacity (the KD builder
+    pads tiles to the next power of two; trim_index slices the pure-pad
+    tail so per-iteration work scales with the real size)."""
+    from icpx.geometry.transforms import make_rigid_perturbation
+
+    n = 40960  # 5 * 8192: tile count 640 -> padded 1024 -> trimmed 640
+    xyz = synthetic_surface(n, seed=0)
+    src = PointCloud.create(xyz)
+    gt = make_rigid_perturbation(angle=0.2, translation=(0.12, -0.06, 0.03))
+    rng = np.random.default_rng(1)
+    tgt_np = np.asarray(gt.apply(src.xyz))[: src.capacity]
+    perm = rng.permutation(src.capacity)
+    tgt = PointCloud.create(tgt_np[perm], capacity=src.capacity).replace(
+        mask=src.mask[perm]
+    )
+    cfg = ICPConfig(
+        max_iters=10, diff_threshold=0.0, rmse_change_tol=1e-6,
+        nn_method="block",
+    )
+    from icpx.registration.icp import _register_jit
+
+    res = _register_jit(
+        src, tgt, SE3.identity(), cfg, normals_for=("src", "tgt")
+    )
+    rot_err, t_err = res.transform.distance_to(gt)
+    assert float(rot_err) < 5e-3, float(rot_err)
+    assert float(t_err) < 5e-3, float(t_err)
