@@ -158,12 +158,18 @@ def sharded_register(
             # irrelevant to the psum'd normal equations) + tile-index NN:
             # O(N*K*S) per shard instead of brute O(N * N_tgt/shard).
             from icpx.kernels.blocknn import (
+                _SUPER_G,
                 block_nn,
                 tile_payload,
+                trim_index,
             )
 
             builder = config.tile_builder()
-            s_idx = builder(s_xyz, s_mask, tile_size=config.block_q_tile)
+            local_cap = s_xyz.shape[0]
+            s_idx = trim_index(
+                builder(s_xyz, s_mask, tile_size=config.block_q_tile),
+                local_cap,
+            )
             sorder = s_idx.order
             svalid = sorder >= 0
             ssafe = jnp.maximum(sorder, 0)
@@ -178,7 +184,13 @@ def sharded_register(
                 else None
             )
 
-            t_idx = builder(t_xyz, t_mask, tile_size=config.block_tile)
+            # same static trim on every shard (shared local capacity), so
+            # ring ppermutes stay shape-uniform
+            t_idx = trim_index(
+                builder(t_xyz, t_mask, tile_size=config.block_tile),
+                t_xyz.shape[0],
+                multiple=_SUPER_G,
+            )
             ft = (
                 tile_payload(t_idx, t_f[:, None])[..., 0]
                 if use_feat

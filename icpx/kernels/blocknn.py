@@ -66,6 +66,20 @@ class TileIndex:
 # cheaper than global ones; 16k keeps every in-node sort in that regime).
 _KD_SEG = 65536
 
+# Keep 4-way fanout while a node still has at least this many tiles
+# below it; the last levels go 2-way (alternating axes) where box
+# compactness matters most for recall. For LARGE builds (>= _FAN4_DEEP
+# tiles) 8 = one fewer sort per build than 16 at recall-identical
+# quality (full-pipeline rmse 5.74e-3 vs 5.75e-3, chip A/B
+# scripts/exp_kd.py 2026-08-19: 189.1 -> 184.6 ms at 1M — the change
+# that crossed the 1M north star). Small builds keep 16: their sorts
+# are cheap and the extra 2-way level measurably helps compactness
+# (40k-pt refine-regime miss 0.21% vs 0.19%). Shrinking the Morton
+# segments instead (_KD_SEG=16384) was faster still but cost real
+# recall (rmse 8.4e-3) — rejected.
+_FAN4_MIN = 8
+_FAN4_DEEP = 8192
+
 
 def _part1by2(x: jax.Array) -> jax.Array:
     """Spread 10 bits to every 3rd bit (Morton interleave helper)."""
@@ -243,7 +257,8 @@ def build_kd_index(
         # compactness matters most — measured recall matches the
         # all-2-way build (0.13% vs 0.10% aligned-volume miss) at 7
         # sorts instead of 10 per 1M-point build.
-        fan = 4 if t2 // c >= 16 else 2
+        min4 = _FAN4_MIN if t2 >= _FAN4_DEEP else 16
+        fan = 4 if t2 // c >= min4 else 2
         m = total // c
         seg = pts.reshape(c, m, 3)
         v = valid.reshape(c, m)
