@@ -167,7 +167,10 @@ def sharded_register(
             builder = config.tile_builder()
             local_cap = s_xyz.shape[0]
             s_idx = trim_index(
-                builder(s_xyz, s_mask, tile_size=config.block_q_tile),
+                builder(
+                    s_xyz, s_mask,
+                    tile_size=config.resolve_q_tile(local_cap),
+                ),
                 local_cap,
             )
             sorder = s_idx.order
@@ -176,7 +179,7 @@ def sharded_register(
             s_xyz = s_idx.tiles.reshape(-1, 3)
             s_mask = svalid
             s_n = jnp.where(svalid[:, None], s_n[ssafe], 0.0)
-            sq = config.block_q_tile
+            sq = config.resolve_q_tile(local_cap)
             local_tq = s_xyz.shape[0] // sq
             qf = (
                 jnp.where(svalid, s_f[ssafe], 0.0).reshape(local_tq, sq)

@@ -163,14 +163,15 @@ def run_odometry_compiled(
             axis=1,
         )
         s_idx = trim_index(
-            builder(fx_c, fm, tile_size=config.block_q_tile), n_pts
+            builder(fx_c, fm, tile_size=config.resolve_q_tile(n_pts)),
+            n_pts,
         )
         order = s_idx.order
         valid = order >= 0
         safe = jnp.maximum(order, 0)
         s_xyz = s_idx.tiles.reshape(-1, 3)
         s_n = jnp.where(valid[:, None], fn[safe], 0.0)
-        sq = config.block_q_tile
+        sq = config.resolve_q_tile(n_pts)
         tq = s_xyz.shape[0] // sq
 
         def nn_fn(p):

@@ -77,6 +77,14 @@ class ICPConfig:
     # (aligned-clouds) volume recall 99.9%+ at k=6 candidates.
     block_tile: int = 128
     block_q_tile: int = 64  # query tile size Sq (smaller = tighter boxes)
+    # Query tile size for LARGE clouds (>= payload_infold_threshold
+    # points): what matters for recall is a tile's SPATIAL extent, which
+    # shrinks with density — at 8M a 128-point tile is tighter than 1M's
+    # 64-point tile (chip A/B 2026-08-19: 8M wall -8% AND rmse 4.07e-3
+    # vs 4.13e-3; at 1M the same Sq=128 costs recall, rmse 1.08e-2 —
+    # and Sq=256 at 8M costs it too, rmse 8.3e-3). 0 = always use
+    # block_q_tile.
+    block_q_tile_large: int = 128
     block_k: int = 8
     # Candidate-tile count for refine-phase iterations (after the coarse
     # phase has aligned the clouds, correspondences are near and a
@@ -118,6 +126,13 @@ class ICPConfig:
     # NN miss at the defaults vs ~5% for Morton ranges on uniform volumes)
     # or "morton" (cheaper build).
     tile_index: str = "kd"
+    # Partitioner for the SOURCE (query) tiling only; "" = tile_index.
+    # Rationale for allowing a cheaper source build: query-tile sprawl
+    # only loosens candidate ranking (a sprawling query box still selects
+    # tiles covering all its queries), unlike reference tiles where
+    # sprawl directly costs recall. See scripts/exp_srcmorton.py for the
+    # measured verdict.
+    src_tile_index: str = ""
     # Fused Pallas fold (TPU): "auto" = on when the default backend is not
     # CPU, "on"/"off" force. The fused kernel groups `block_group` query
     # tiles per program over a deduplicated candidate union of up to
@@ -137,6 +152,8 @@ class ICPConfig:
             raise ValueError("nn_method must be auto|brute|block")
         if self.tile_index not in ("kd", "morton"):
             raise ValueError("tile_index must be kd|morton")
+        if self.src_tile_index not in ("", "kd", "morton"):
+            raise ValueError("src_tile_index must be ''|kd|morton")
         if self.block_fused not in ("auto", "on", "off"):
             raise ValueError("block_fused must be auto|on|off")
         if self.payload_mode not in ("auto", "gather", "infold"):
@@ -148,10 +165,11 @@ class ICPConfig:
                 "almost certainly a mistake"
             )
 
-    def tile_builder(self):
+    def tile_builder(self, kind: str = ""):
         from icpx.kernels.blocknn import build_kd_index, build_tile_index
 
-        return build_kd_index if self.tile_index == "kd" else build_tile_index
+        k = kind or self.tile_index
+        return build_kd_index if k == "kd" else build_tile_index
 
     def resolve_fused(self) -> bool:
         if self.block_fused != "auto":
@@ -166,6 +184,14 @@ class ICPConfig:
         return (
             "block" if tgt_capacity >= self.block_auto_threshold else "brute"
         )
+
+    def resolve_q_tile(self, capacity: int) -> int:
+        if (
+            self.block_q_tile_large > 0
+            and capacity >= self.payload_infold_threshold
+        ):
+            return self.block_q_tile_large
+        return self.block_q_tile
 
     def resolve_payload(self, tgt_capacity: int) -> str:
         if self.payload_mode != "auto":
@@ -466,8 +492,11 @@ def _register_jit(
         builder = config.tile_builder()
         from icpx.kernels.blocknn import _SUPER_G, trim_index
 
+        q_tile = config.resolve_q_tile(src.capacity)
         src_order_idx = trim_index(
-            builder(src.xyz, src.mask, tile_size=config.block_q_tile),
+            config.tile_builder(config.src_tile_index)(
+                src.xyz, src.mask, tile_size=q_tile
+            ),
             src.capacity,
             multiple=4,  # coarse phase needs tq % 4 == 0
         )
@@ -507,7 +536,7 @@ def _register_jit(
             from icpx.kernels.blocknn import coarsen_index
 
             s_idx = src_order_idx
-            f = config.block_tile // config.block_q_tile
+            f = config.block_tile // q_tile
             if f > 1 and s_idx.n_tiles % f == 0:
                 s_idx = coarsen_index(s_idx, f)
             src_n_s = _index_normals(s_idx, config.k_normals, k_tiles=2)
@@ -536,7 +565,7 @@ def _register_jit(
         # for the gathers at 8M points
         tgt_pl = jnp.concatenate([tgt_sorted, tgt_n_sorted], axis=1)
 
-        sq = config.block_q_tile
+        sq = q_tile
         tq = src_xyz.shape[0] // sq
         fused = config.resolve_fused() and not use_feat
         group = config.block_group if tq % config.block_group == 0 else 1
