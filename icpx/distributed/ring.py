@@ -102,6 +102,7 @@ def ring_block_nn(
     query_feat: jax.Array | None = None,
     feat_tiles: jax.Array | None = None,
     feat_weight: float = 1.0,
+    score_prec: str = "highest",
 ) -> Tuple[jax.Array, jax.Array]:
     """Block (tile-index) NN of local query tiles against the UNION of all
     devices' target shards — the scalable-cloud ring pass (SURVEY §2.3
@@ -141,6 +142,7 @@ def ring_block_nn(
             query_feat=query_feat if has_feat else None,
             feat_tiles=ft_cur if has_feat else None,
             feat_weight=feat_weight,
+            score_prec=score_prec,
         )
         better = d < best_d
         best_d = jnp.where(better, d, best_d)

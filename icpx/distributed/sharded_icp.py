@@ -214,6 +214,7 @@ def sharded_register(
                         query_feat=qf,
                         feat_tiles=ft,
                         feat_weight=config.feat_nn_weight,
+                        score_prec=config.resolve_score_prec(),
                     )
                     return pl[:, :3], pl[:, 3:], jnp.sqrt(d2)
 
@@ -227,6 +228,7 @@ def sharded_register(
                         query_feat=qf,
                         feat_tiles=ft,
                         feat_weight=config.feat_nn_weight,
+                        score_prec=config.resolve_score_prec(),
                     )
                     return t_xyz[idx], t_n[idx], jnp.sqrt(d2)
 

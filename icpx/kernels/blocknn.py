@@ -360,6 +360,33 @@ def coarsen_index(index: TileIndex, factor: int) -> TileIndex:
     )
 
 
+def _tile_center(query_tiles: jax.Array) -> jax.Array:
+    """(Tq, Sq, 3) -> (Tq, 3) masked per-tile centroid (bf16 scoring)."""
+    qv = jnp.max(jnp.abs(query_tiles), axis=2) < 1.0e6
+    nv = jnp.maximum(qv.sum(axis=1, keepdims=True).astype(jnp.float32), 1.0)
+    return jnp.where(qv[..., None], query_tiles, 0.0).sum(axis=1) / nv
+
+
+def _score_einsum(q4: jax.Array, r4: jax.Array, score_prec: str) -> jax.Array:
+    """The fold's (Tq, Sq, C) x (Tq, S, C) -> (Tq, Sq, S) score matmul.
+
+    The package pins jax_default_matmul_precision=highest (fp32 via
+    ~6 bf16 MXU passes) because coordinate-scale distance expansions
+    cancel catastrophically in bf16. That reasoning is about GLOBAL
+    coordinates; the fold can afford cheaper passes when both operands
+    are centered on the query tile (see callers): "high" = 3-pass
+    (near-f32), "bf16" = 1 native pass on tile-local magnitudes.
+    """
+    if score_prec == "bf16":
+        return jnp.einsum(
+            "tqc,tsc->tqs",
+            q4.astype(jnp.bfloat16),
+            r4.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    return jnp.einsum("tqc,tsc->tqs", q4, r4, precision=score_prec)
+
+
 def _box_sqdist(
     lo_a: jax.Array, hi_a: jax.Array, lo_b: jax.Array, hi_b: jax.Array
 ) -> jax.Array:
@@ -373,7 +400,10 @@ def _box_sqdist(
     return jnp.sum(gap * gap, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("k_tiles", "max_chunk", "return_pos"))
+@partial(
+    jax.jit,
+    static_argnames=("k_tiles", "max_chunk", "return_pos", "score_prec"),
+)
 def block_nn(
     query_tiles: jax.Array,
     index: TileIndex,
@@ -385,6 +415,7 @@ def block_nn(
     query_feat: Optional[jax.Array] = None,
     feat_tiles: Optional[jax.Array] = None,
     feat_weight: float = 1.0,
+    score_prec: str = "highest",
 ) -> Tuple[jax.Array, jax.Array]:
     """NN of spatially-coherent query tiles (Tq, Sq, 3) into the index.
 
@@ -442,6 +473,7 @@ def block_nn(
                 query_feat=xs[1 + have_cand] if have_feat else None,
                 feat_tiles=feat_tiles,
                 feat_weight=feat_weight,
+                score_prec=score_prec,
             ),
             tuple(parts),
         )
@@ -450,12 +482,20 @@ def block_nn(
     if cand_tiles is None:
         cand_tiles, _ = _candidate_tiles(query_tiles, index, k_tiles)
 
+    # bf16 scoring works on query-tile-centered coordinates: the
+    # expansion's terms then scale with the LOCAL tile extent, not the
+    # cloud extent, so 8 mantissa bits keep the cancellation error a
+    # small fraction of a point spacing (distances stay genuine;
+    # near-tie argmin swaps pick an almost-equidistant real neighbor).
+    qc = _tile_center(query_tiles) if score_prec == "bf16" else None
+    q_cen = query_tiles - qc[:, None, :] if qc is not None else query_tiles
+
     # Augmented query: [-2x, -2y, -2z, 1] so the MXU emits the biased
     # score ||r||^2 - 2 q.r (see knn_pallas.py). A feature channel adds
     # one contraction lane: [..., -2 w^2 f_q] against [..., f_r] with
     # w^2 f_r^2 folded into the bias row.
     lam2 = jnp.float32(feat_weight) ** 2
-    q_ops = [-2.0 * query_tiles, jnp.ones((tq, sq, 1), jnp.float32)]
+    q_ops = [-2.0 * q_cen, jnp.ones((tq, sq, 1), jnp.float32)]
     if query_feat is not None:
         q_ops.append((-2.0 * lam2 * query_feat)[..., None])
     q4 = jnp.concatenate(q_ops, axis=2)
@@ -464,6 +504,8 @@ def block_nn(
         best_s, best_p = carry
         tid = cand_tiles[:, k]  # (Tq,)
         r = index.tiles[tid]  # (Tq, S, 3) contiguous-row gather
+        if qc is not None:
+            r = r - qc[:, None, :]
         rr = jnp.sum(r * r, axis=2)  # (Tq, S)
         if query_feat is not None:
             f_r = feat_tiles[tid]  # (Tq, S)
@@ -473,7 +515,7 @@ def block_nn(
             )
         else:
             r4 = jnp.concatenate([r, rr[..., None]], axis=2)
-        score = jnp.einsum("tqc,tsc->tqs", q4, r4)  # (Tq, Sq, S) MXU
+        score = _score_einsum(q4, r4, score_prec)  # (Tq, Sq, S) MXU
         smin = jnp.min(score, axis=2)
         sarg = jnp.argmin(score, axis=2).astype(jnp.int32)
         pos = tid[:, None] * s + sarg  # global sorted position
@@ -491,7 +533,7 @@ def block_nn(
         fold, init, jnp.arange(cand_tiles.shape[1]), unroll=True
     )
 
-    qq = jnp.sum(query_tiles**2, axis=2)
+    qq = jnp.sum(q_cen**2, axis=2)
     if query_feat is not None:
         qq = qq + lam2 * query_feat * query_feat
     d = jnp.maximum(best_s + qq, 0.0).reshape(-1)
@@ -641,7 +683,7 @@ def tile_payload(index: TileIndex, payload: jax.Array) -> jax.Array:
     return flat.reshape(t, s, payload.shape[1])
 
 
-@partial(jax.jit, static_argnames=("k_tiles", "max_chunk"))
+@partial(jax.jit, static_argnames=("k_tiles", "max_chunk", "score_prec"))
 def block_nn_payload(
     query_tiles: jax.Array,
     index: TileIndex,
@@ -653,6 +695,7 @@ def block_nn_payload(
     query_feat: Optional[jax.Array] = None,
     feat_tiles: Optional[jax.Array] = None,
     feat_weight: float = 1.0,
+    score_prec: str = "highest",
 ) -> Tuple[jax.Array, jax.Array]:
     """Like `block_nn` but returns the matched payload row per query
     instead of an index — the row is selected in-tile by a one-hot MXU
@@ -702,6 +745,7 @@ def block_nn_payload(
                 query_feat=xs[1 + have_cand] if have_feat else None,
                 feat_tiles=feat_tiles,
                 feat_weight=feat_weight,
+                score_prec=score_prec,
             ),
             tuple(parts),
         )
@@ -710,8 +754,11 @@ def block_nn_payload(
     if cand_tiles is None:
         cand_tiles, _ = _candidate_tiles(query_tiles, index, k_tiles)
 
+    qc = _tile_center(query_tiles) if score_prec == "bf16" else None
+    q_cen = query_tiles - qc[:, None, :] if qc is not None else query_tiles
+
     lam2 = jnp.float32(feat_weight) ** 2
-    q_ops = [-2.0 * query_tiles, jnp.ones((tq, sq, 1), jnp.float32)]
+    q_ops = [-2.0 * q_cen, jnp.ones((tq, sq, 1), jnp.float32)]
     if query_feat is not None:
         q_ops.append((-2.0 * lam2 * query_feat)[..., None])
     q4 = jnp.concatenate(q_ops, axis=2)
@@ -722,6 +769,8 @@ def block_nn_payload(
         r = index.tiles[tid]  # (Tq, S, 3)
         pl = payload_tiles[tid]  # (Tq, S, D)
         rvalid = jnp.max(jnp.abs(r), axis=2) < 1.0e6  # (Tq, S)
+        if qc is not None:
+            r = r - qc[:, None, :]
         rr = jnp.sum(r * r, axis=2)
         if query_feat is not None:
             f_r = feat_tiles[tid]  # (Tq, S)
@@ -731,7 +780,7 @@ def block_nn_payload(
             )
         else:
             r4 = jnp.concatenate([r, rr[..., None]], axis=2)
-        score = jnp.einsum("tqc,tsc->tqs", q4, r4)
+        score = _score_einsum(q4, r4, score_prec)
         score = jnp.where(rvalid[:, None, :], score, jnp.inf)
         smin = jnp.min(score, axis=2)  # (Tq, Sq)
         # one-hot selection with lowest-lane tiebreak: the payload is
@@ -759,7 +808,7 @@ def block_nn_payload(
     (best_s, best_pl, best_valid), _ = jax.lax.scan(
         fold, init, jnp.arange(cand_tiles.shape[1]), unroll=True
     )
-    qq = jnp.sum(query_tiles**2, axis=2)
+    qq = jnp.sum(q_cen**2, axis=2)
     if query_feat is not None:
         qq = qq + lam2 * query_feat * query_feat
     d = jnp.maximum(best_s + qq, 0.0)

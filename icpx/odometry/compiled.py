@@ -178,6 +178,7 @@ def run_odometry_compiled(
             d2, pos = block_nn(
                 p.reshape(tq, sq, 3), t_idx,
                 k_tiles=config.block_k, return_pos=True,
+                score_prec=config.resolve_score_prec(),
             )
             pl = tgt_pl[pos]
             return pl[:, :3], pl[:, 3:], jnp.sqrt(d2)

@@ -112,6 +112,28 @@ class ICPConfig:
     # positions instead of every iteration (safe: post-coarse motion is
     # well under a tile extent; selection is ~15% of a 1M registration).
     freeze_refine_candidates: bool = True
+    # MEASURED NEGATIVE (chip 2026-08-19, NOTES.md): pre-gathering the
+    # frozen candidate tiles into dense (K, Tq, S, ·) arrays so refine
+    # iterations read static slices instead of re-gathering rows was a
+    # wash at 8M (1736.5 vs 1735.3 ms) and -6 ms at 1M — XLA's
+    # contiguous-row tile gathers are already near-DMA speed; the fold
+    # cost lives in the score/select einsums, not the gathers.
+    #
+    # MXU precision of the NN score einsum: the package default pins
+    # matmuls to "highest" (~6 bf16 passes emulating fp32) because
+    # coordinate-scale squared-distance expansions cancel
+    # catastrophically in bf16. "high" = 3 passes (near-f32); "bf16" =
+    # ONE native pass on query-tile-CENTERED coordinates, where the
+    # expansion's terms scale with the local tile extent and the
+    # rounding error stays a small fraction of a point spacing —
+    # misses remain genuine near-ties. Applies to block-NN correspondence
+    # scoring only (solve/normals stay fp32). Chip A/B 2026-08-19
+    # (exp_tiles): rmse/GT IDENTICAL to "highest" at 1M AND 8M, wall
+    # 190.5->175.7 ms / 1736->1639 ms — the MXU accumulates bf16
+    # products in f32. "auto" = bf16 on accelerators; CPU (tests) keeps
+    # "highest" because CPU bf16 emulation lacks the f32-accumulate
+    # guarantee (measured rmse floor raise at 40k on CPU).
+    score_precision: str = "auto"
     # How matched target rows (coords + normals/covs) reach the solve:
     # "gather" = one coherent (N, 3+D) sorted-table row gather per
     # iteration (fastest at <=1M: 28 vs 32.5 ms/iter); "infold" = one-hot
@@ -127,11 +149,14 @@ class ICPConfig:
     # or "morton" (cheaper build).
     tile_index: str = "kd"
     # Partitioner for the SOURCE (query) tiling only; "" = tile_index.
-    # Rationale for allowing a cheaper source build: query-tile sprawl
-    # only loosens candidate ranking (a sprawling query box still selects
-    # tiles covering all its queries), unlike reference tiles where
-    # sprawl directly costs recall. See scripts/exp_srcmorton.py for the
-    # measured verdict.
+    # Hypothesis was that query-tile sprawl only loosens candidate
+    # ranking, so a Morton source build (1 global sort vs ~7) could be
+    # free speed. MEASURED LOSER (chip, scripts/exp_srcmorton.py,
+    # 2026-08-19): sprawling query boxes dilute the shared top-k tile
+    # list enough to cost real recall — 1M 186.6->178.8 ms but rmse
+    # 5.7e-3 -> 1.6e-2; 8M 1737->1667 ms but rmse 4.1e-3 -> 9.5e-3
+    # (GT still recovered; the rmse is inflated miss distances). Same
+    # class of recall loss as the rejected _KD_SEG=16384 — "" stands.
     src_tile_index: str = ""
     # Fused Pallas fold (TPU): "auto" = on when the default backend is not
     # CPU, "on"/"off" force. The fused kernel groups `block_group` query
@@ -158,6 +183,10 @@ class ICPConfig:
             raise ValueError("block_fused must be auto|on|off")
         if self.payload_mode not in ("auto", "gather", "infold"):
             raise ValueError("payload_mode must be auto|gather|infold")
+        if self.score_precision not in ("auto", "highest", "high", "bf16"):
+            raise ValueError(
+                "score_precision must be auto|highest|high|bf16"
+            )
         if bool(self.feat_nn) != (self.feat_nn_weight > 0):
             raise ValueError(
                 "feature matching needs BOTH feat_nn (channel name) and "
@@ -184,6 +213,13 @@ class ICPConfig:
         return (
             "block" if tgt_capacity >= self.block_auto_threshold else "brute"
         )
+
+    def resolve_score_prec(self) -> str:
+        if self.score_precision != "auto":
+            return self.score_precision
+        import jax
+
+        return "highest" if jax.default_backend() == "cpu" else "bf16"
 
     def resolve_q_tile(self, capacity: int) -> int:
         if (
@@ -610,6 +646,7 @@ def _register_jit(
                         query_feat=qf,
                         feat_tiles=tgt_f_tiles if qf is not None else None,
                         feat_weight=config.feat_nn_weight,
+                        score_prec=config.resolve_score_prec(),
                     )
                     # miss/pad rows: d2=inf with zero payload — finite
                     # coords, zero weight downstream, no NaNs
@@ -621,6 +658,7 @@ def _register_jit(
                         query_feat=qf,
                         feat_tiles=tgt_f_tiles if qf is not None else None,
                         feat_weight=config.feat_nn_weight,
+                        score_prec=config.resolve_score_prec(),
                     )
                 # pad/miss rows carry d2=inf (gated by the validity mask
                 # downstream); their PAD_COORD coords are finite, so
