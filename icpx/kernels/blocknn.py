@@ -198,8 +198,22 @@ def build_kd_index(
     mask = jnp.ones((n,), bool) if mask is None else mask
     s = tile_size
     t = max(1, -(-n // s))
-    # binary splits need a power-of-two tile count
-    t2 = 1 << (t - 1).bit_length()
+    # The split levels only need t2 / c0 to be a power of two — c0 (the
+    # segment count the Morton phase hands over) can carry any leading
+    # factor q. Rounding t up to q * 2^k with 64 <= q <= 127 caps tile
+    # padding at ~1.6% for large builds, where the old power-of-two
+    # rounding cost up to 2x sort rows (a 10M-point cloud = 81920 tiles
+    # padded to 131072: every build sort ran over 16.8M rows). q is a
+    # multiple-of-64 guarantee for the trimmed index's hierarchical
+    # ranking (k >= 6). Small builds keep plain power-of-two: their
+    # padding is cheap and q-form would starve the median levels.
+    if t >= 4096:
+        k = t.bit_length() - 7
+        q0 = -(-t // (1 << k))
+        t2 = q0 << k
+    else:
+        q0 = 1
+        t2 = 1 << (t - 1).bit_length()
     total = t2 * s
     pad = total - n
 
@@ -236,7 +250,8 @@ def build_kd_index(
         valid = orig >= 0
 
     # choose the segment size the Morton phase hands to the median phase
-    c0 = 1
+    # (c0 carries t2's odd-ish leading factor so t2/c0 stays a power of 2)
+    c0 = q0
     while total // c0 > _KD_SEG and c0 < t2:
         c0 *= 2
 
@@ -545,12 +560,21 @@ def block_nn(
 
 
 def _pad_chunks(query_tiles: jax.Array, max_chunk: int):
-    """Pad the query-tile axis with sentinel tiles to a multiple of the
-    chunk size and reshape to (n_chunks, chunk, Sq, 3). A divisor search
-    would collapse to tiny chunks for prime-ish tile counts; sentinel
-    tiles cost one extra chunk at most and their outputs are sliced off."""
+    """Split the query-tile axis into (n_chunks, chunk, Sq, 3).
+
+    Prefers an exact divisor of tq in [max_chunk/2, max_chunk] — "one
+    extra padded chunk at most" sounds cheap but is 20% pure-sentinel
+    fold work at the 10M operating point (Tq=81920 pads to 3x32768;
+    the divisor 16384 gives 5 clean chunks instead). Prime-ish tile
+    counts where no such divisor exists fall back to sentinel padding
+    as before."""
     tq, sq, _ = query_tiles.shape
     chunk = min(max_chunk, tq)
+    if tq > max_chunk and tq % chunk:
+        for c in range(max_chunk, max_chunk // 2 - 1, -1):
+            if tq % c == 0:
+                chunk = c
+                break
     pad = (-tq) % chunk
     if pad:
         query_tiles = jnp.concatenate(
@@ -816,7 +840,7 @@ def block_nn_payload(
     return d.reshape(-1), best_pl.reshape(tq * sq, d_pl)
 
 
-@partial(jax.jit, static_argnames=("k_tiles", "max_chunk"))
+@partial(jax.jit, static_argnames=("k_tiles", "max_chunk", "prec"))
 def block_radius_moments(
     query_tiles: jax.Array,
     index: TileIndex,
@@ -824,6 +848,7 @@ def block_radius_moments(
     *,
     k_tiles: int = 8,
     max_chunk: int = 8192,
+    prec: str = "highest",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Neighborhood moments within `radius` of each query — the gather-free
     normal-estimation primitive.
@@ -843,7 +868,8 @@ def block_radius_moments(
         qt, n_chunks, chunk = _pad_chunks(query_tiles, max_chunk)
         cnt, mean, cov = jax.lax.map(
             lambda q: block_radius_moments(
-                q, index, radius, k_tiles=k_tiles, max_chunk=max_chunk
+                q, index, radius, k_tiles=k_tiles, max_chunk=max_chunk,
+                prec=prec,
             ),
             qt,
         )
@@ -870,7 +896,12 @@ def block_radius_moments(
         rvalid = jnp.max(jnp.abs(r), axis=2) < 1.0e6
         rr = jnp.sum(r * r, axis=2)
         r4 = jnp.concatenate([r, rr[..., None]], axis=2)
-        score = jnp.einsum("tqc,tsc->tqs", q4, r4)  # ||r||^2 - 2 q.r
+        # everything here is already query-tile-centered, so the bf16
+        # single-pass score is safe exactly as in block_nn (the radius
+        # TEST tolerates border-neighbor flips; normals average k~10+
+        # neighbors). The moments einsum below stays >= "high": its
+        # outputs are covariance entries, not a ranking.
+        score = _score_einsum(q4, r4, prec)  # ||r||^2 - 2 q.r
         d = score + qq[..., None]  # true squared distance
         w = ((d <= r2) & rvalid[:, None, :]).astype(jnp.float32)
         x, y, z = r[..., 0], r[..., 1], r[..., 2]
@@ -882,7 +913,10 @@ def block_radius_moments(
             ],
             axis=2,
         )  # (Tq, S, 10)
-        moments = moments + jnp.einsum("tqs,tsf->tqf", w, feat)
+        m_prec = "high" if prec == "bf16" else prec
+        moments = moments + jnp.einsum(
+            "tqs,tsf->tqf", w, feat, precision=m_prec
+        )
         return moments, None
 
     init = jnp.zeros((tq, sq, 10), jnp.float32)

@@ -456,7 +456,7 @@ def gicp_cov_rot(T, aux):
     return jnp.einsum("ij,njk,lk->nil", T.R, C, T.R).reshape(-1, 9)
 
 
-def _index_normals(index, k_normals, k_tiles=4):
+def _index_normals(index, k_normals, k_tiles=4, prec="highest"):
     """PCA normals for an index's own tiles (self-query radius moments):
     (normals, valid_count) in SORTED tile order. The shared-index fast
     path — one KD build serves NN search and normal estimation
@@ -472,7 +472,7 @@ def _index_normals(index, k_normals, k_tiles=4):
     scale = 3.0 * float(np.sqrt(max(k_normals, 1) / 10.0))
     radius = auto_cell_size(flat, valid, scale=scale)
     cnt, _, cov = block_radius_moments(
-        index.tiles, index, radius, k_tiles=k_tiles
+        index.tiles, index, radius, k_tiles=k_tiles, prec=prec
     )
     normal, _ = smallest_eigenvector_3x3(cov)
     # orient toward the (centered-frame) viewpoint at the origin
@@ -575,6 +575,10 @@ def _register_jit(
             f = config.block_tile // q_tile
             if f > 1 and s_idx.n_tiles % f == 0:
                 s_idx = coarsen_index(s_idx, f)
+            # normals stay at full score precision: bf16 moments were
+            # -5 ms at 1M but degraded recovered rotation from exact to
+            # 4.9e-4 rad (chip A/B 2026-08-19) — normal noise biases the
+            # symmetric solve SYSTEMATICALLY, unlike NN near-tie swaps.
             src_n_s = _index_normals(s_idx, config.k_normals, k_tiles=2)
         else:
             src_n_s = jnp.where(valid[:, None], src_n[safe], 0.0)

@@ -503,3 +503,42 @@ def test_register_non_pow2_capacity():
     rot_err, t_err = res.transform.distance_to(gt)
     assert float(rot_err) < 5e-3, float(rot_err)
     assert float(t_err) < 5e-3, float(t_err)
+
+
+def test_kd_index_qform_large_builds(rng):
+    """Large builds round the tile count to q*2^k (q in [64, 128])
+    instead of a full power of two — a 10M-point cloud's 81920 tiles
+    otherwise pad to 131072 and every build sort pays 2x rows. Verify
+    the q-form build: correct tile count, global valid prefix (the
+    trim_index invariant), exact point recovery, and recall parity
+    with brute force."""
+    from icpx.kernels.blocknn import build_kd_index, trim_index
+
+    n = 40000  # tile_size=8 -> t=5000 >= 4096 triggers the q-form
+    xyz = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    idx = build_kd_index(jnp.asarray(xyz), tile_size=8)
+    # q-form: 5000 -> k=6, q=ceil(5000/64)=79, t2=79*64=5056 (not 8192)
+    assert idx.n_tiles == 5056
+    assert idx.n_tiles % 64 == 0  # hierarchical-ranking requirement
+    order = np.asarray(idx.order)
+    assert (order[:n] >= 0).all() and (order[n:] < 0).all()
+    assert sorted(order[order >= 0].tolist()) == list(range(n))
+
+    # Recall sanity. The bound is LOOSE because S=8 is an extreme
+    # regime (k_tiles=12 x 8 = 96-point candidate pools; same-occupancy
+    # po2 misses 3.0% here, q-form 4.5%): full tiles cover more volume
+    # per candidate than the old padding's ~62%-occupied ones. The
+    # design-point gates are test_default_operating_point_recall (S=128,
+    # CPU) and the 10M chip bench, where the q-form build left rmse and
+    # GT recovery bit-unchanged (5.90e-3) while cutting the wall
+    # 2439 -> 2264 ms (build sorts run 10.5M rows instead of 16.8M).
+    q = synthetic_surface(4096, seed=7)
+    qidx = build_kd_index(q, tile_size=32)
+    d_v, _ = block_nn(qidx.tiles, trim_index(idx, n), k_tiles=12)
+    valid = np.asarray(qidx.order) >= 0
+    d_b, _ = _nearest_neighbor_jnp(
+        jnp.asarray(np.asarray(qidx.tiles).reshape(-1, 3)),
+        jnp.asarray(xyz),
+    )
+    miss = (np.asarray(d_v)[valid] > np.asarray(d_b)[valid] + 1e-6).mean()
+    assert miss < 0.06, f"miss rate {miss}"
