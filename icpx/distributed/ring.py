@@ -103,6 +103,8 @@ def ring_block_nn(
     feat_tiles: jax.Array | None = None,
     feat_weight: float = 1.0,
     score_prec: str = "highest",
+    payload_prec: str = "high",
+    payload_xyz: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Block (tile-index) NN of local query tiles against the UNION of all
     devices' target shards — the scalable-cloud ring pass (SURVEY §2.3
@@ -143,6 +145,8 @@ def ring_block_nn(
             feat_tiles=ft_cur if has_feat else None,
             feat_weight=feat_weight,
             score_prec=score_prec,
+            payload_prec=payload_prec,
+            payload_xyz=payload_xyz,
         )
         better = d < best_d
         best_d = jnp.where(better, d, best_d)

@@ -215,6 +215,8 @@ def sharded_register(
                         feat_tiles=ft,
                         feat_weight=config.feat_nn_weight,
                         score_prec=config.resolve_score_prec(),
+                        payload_prec=config.resolve_payload_prec(),
+                        payload_xyz=3,
                     )
                     return pl[:, :3], pl[:, 3:], jnp.sqrt(d2)
 

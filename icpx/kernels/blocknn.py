@@ -707,7 +707,12 @@ def tile_payload(index: TileIndex, payload: jax.Array) -> jax.Array:
     return flat.reshape(t, s, payload.shape[1])
 
 
-@partial(jax.jit, static_argnames=("k_tiles", "max_chunk", "score_prec"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k_tiles", "max_chunk", "score_prec", "payload_prec", "payload_xyz"
+    ),
+)
 def block_nn_payload(
     query_tiles: jax.Array,
     index: TileIndex,
@@ -720,6 +725,8 @@ def block_nn_payload(
     feat_tiles: Optional[jax.Array] = None,
     feat_weight: float = 1.0,
     score_prec: str = "highest",
+    payload_prec: str = "high",
+    payload_xyz: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Like `block_nn` but returns the matched payload row per query
     instead of an index — the row is selected in-tile by a one-hot MXU
@@ -736,6 +743,19 @@ def block_nn_payload(
 
     `cand_tiles`, `query_feat`/`feat_tiles`/`feat_weight` behave exactly
     as in `block_nn` (frozen refine candidates; 4D augmented metric).
+
+    `payload_prec="bf16"` runs the one-hot selection matmul as ONE
+    native bf16 MXU pass (f32 accumulate) instead of the 3-pass "high"
+    emulation. The one-hot operand is exactly representable; the
+    payload VALUES quantize to 8 mantissa bits, so the first
+    `payload_xyz` channels — global coordinates, whose absolute
+    quantization would be cloud-extent-scale — are centered on the
+    query-tile centroid before selection and un-centered in f32 after
+    (requires bf16 scoring, which provides the centroid). MEASURED
+    NEGATIVE (chip A/B at 8M, 2026-08-20): a speed wash (1640 "high"
+    vs 1653 ms full registration, rmse/GT identical) — payload
+    delivery is layout/HBM-traffic-bound, not matmul-pass-bound, so
+    the default stays "high" (exact fp32 payload values for free).
 
     Returns (sqdist (Tq*Sq,), payload (Tq*Sq, D)); inf distance on pad
     or miss (payload zeros).
@@ -770,6 +790,8 @@ def block_nn_payload(
                 feat_tiles=feat_tiles,
                 feat_weight=feat_weight,
                 score_prec=score_prec,
+                payload_prec=payload_prec,
+                payload_xyz=payload_xyz,
             ),
             tuple(parts),
         )
@@ -780,6 +802,13 @@ def block_nn_payload(
 
     qc = _tile_center(query_tiles) if score_prec == "bf16" else None
     q_cen = query_tiles - qc[:, None, :] if qc is not None else query_tiles
+    pl_bf16 = payload_prec == "bf16"
+    center_pl = pl_bf16 and payload_xyz > 0
+    if center_pl and qc is None:
+        raise ValueError(
+            "payload_prec='bf16' with payload_xyz needs bf16 scoring "
+            "(the query-tile centroid that makes centering available)"
+        )
 
     lam2 = jnp.float32(feat_weight) ** 2
     q_ops = [-2.0 * q_cen, jnp.ones((tq, sq, 1), jnp.float32)]
@@ -792,6 +821,11 @@ def block_nn_payload(
         tid = cand_tiles[:, kk]
         r = index.tiles[tid]  # (Tq, S, 3)
         pl = payload_tiles[tid]  # (Tq, S, D)
+        if center_pl:
+            pl = jnp.concatenate(
+                [pl[..., :payload_xyz] - qc[:, None, :payload_xyz],
+                 pl[..., payload_xyz:]], axis=2
+            )
         rvalid = jnp.max(jnp.abs(r), axis=2) < 1.0e6  # (Tq, S)
         if qc is not None:
             r = r - qc[:, None, :]
@@ -814,8 +848,18 @@ def block_nn_payload(
         win = jnp.min(
             jnp.where(score <= smin[..., None], lane, s_dim), axis=2
         )
-        onehot = (lane == win[..., None]).astype(jnp.float32)
-        cand_pl = jnp.einsum("tqs,tsd->tqd", onehot, pl, precision="high")
+        if pl_bf16:
+            cand_pl = jnp.einsum(
+                "tqs,tsd->tqd",
+                (lane == win[..., None]).astype(jnp.bfloat16),
+                pl.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            onehot = (lane == win[..., None]).astype(jnp.float32)
+            cand_pl = jnp.einsum(
+                "tqs,tsd->tqd", onehot, pl, precision="high"
+            )
         cand_ok = jnp.isfinite(smin)
         better = smin < best_s
         return (
@@ -832,6 +876,15 @@ def block_nn_payload(
     (best_s, best_pl, best_valid), _ = jax.lax.scan(
         fold, init, jnp.arange(cand_tiles.shape[1]), unroll=True
     )
+    if center_pl:
+        # un-center in f32; misses keep their zero payload
+        best_pl = jnp.concatenate(
+            [jnp.where(
+                best_valid[..., None],
+                best_pl[..., :payload_xyz] + qc[:, None, :payload_xyz],
+                0.0,
+            ), best_pl[..., payload_xyz:]], axis=2
+        )
     qq = jnp.sum(q_cen**2, axis=2)
     if query_feat is not None:
         qq = qq + lam2 * query_feat * query_feat

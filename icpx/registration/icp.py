@@ -143,6 +143,14 @@ class ICPConfig:
     # infold at >= payload_infold_threshold target points.
     payload_mode: str = "auto"
     payload_infold_threshold: int = 2 * 1024 * 1024
+    # Precision of the infold one-hot payload-selection matmul: "high"
+    # (3-pass, default) or "bf16" (1 native MXU pass; matched coords are
+    # query-tile-centered before selection so quantization is
+    # tile-local). Chip A/B at 8M (2026-08-20, exp_tiles): a WASH —
+    # 1640 vs 1653 ms full registration, rmse/GT identical — the
+    # payload cost is layout/traffic-bound, not matmul-pass-bound, so
+    # "auto" keeps "high" (fp32-exact payload values for free).
+    payload_prec: str = "auto"
     block_auto_threshold: int = 32768
     # Tile partitioner: "kd" (median-cut, compact boxes — measured 0.01%
     # NN miss at the defaults vs ~5% for Morton ranges on uniform volumes)
@@ -183,6 +191,8 @@ class ICPConfig:
             raise ValueError("block_fused must be auto|on|off")
         if self.payload_mode not in ("auto", "gather", "infold"):
             raise ValueError("payload_mode must be auto|gather|infold")
+        if self.payload_prec not in ("auto", "high", "bf16"):
+            raise ValueError("payload_prec must be auto|high|bf16")
         if self.score_precision not in ("auto", "highest", "high", "bf16"):
             raise ValueError(
                 "score_precision must be auto|highest|high|bf16"
@@ -237,6 +247,13 @@ class ICPConfig:
             if tgt_capacity >= self.payload_infold_threshold
             else "gather"
         )
+
+    def resolve_payload_prec(self) -> str:
+        # "auto" = "high": bf16 selection measured as a speed WASH at 8M
+        # (payload delivery is traffic-bound), so exact fp32 values win.
+        if self.payload_prec != "auto":
+            return self.payload_prec
+        return "high"
 
 
 def result_struct() -> "ICPResult":
@@ -651,6 +668,8 @@ def _register_jit(
                         feat_tiles=tgt_f_tiles if qf is not None else None,
                         feat_weight=config.feat_nn_weight,
                         score_prec=config.resolve_score_prec(),
+                        payload_prec=config.resolve_payload_prec(),
+                        payload_xyz=3,
                     )
                     # miss/pad rows: d2=inf with zero payload — finite
                     # coords, zero weight downstream, no NaNs
