@@ -112,6 +112,21 @@ class ICPConfig:
     # positions instead of every iteration (safe: post-coarse motion is
     # well under a tile extent; selection is ~15% of a 1M registration).
     freeze_refine_candidates: bool = True
+    # Multi-resolution refine (the classic pyramid schedule, cf.
+    # Rusinkiewicz & Levoy 2001 "Efficient ICP variants"): run the bulk
+    # of the refine iterations on a within-tile row subsample of the
+    # source (every refine_stride-th row of each query tile — the tile
+    # boxes and frozen candidate lists stay valid), then at most
+    # `refine_full_iters` at full resolution. Pose accuracy needs
+    # statistical mass, not every point (estimate noise ~ 1/sqrt(N));
+    # the full-res tail polishes and produces full-resolution
+    # diff/rmse/inlier statistics. `diff` is a SUM over points, so the
+    # mid phase gates on diff_threshold / stride; rmse-based stops are
+    # scale-invariant. refine_stride: 1 = off, 0 = auto (engages
+    # stride 2 at >= refine_stride_threshold target points).
+    refine_stride: int = 0
+    refine_full_iters: int = 2
+    refine_stride_threshold: int = 2 * 1024 * 1024
     # MEASURED NEGATIVE (chip 2026-08-19, NOTES.md): pre-gathering the
     # frozen candidate tiles into dense (K, Tq, S, ·) arrays so refine
     # iterations read static slices instead of re-gathering rows was a
@@ -197,6 +212,10 @@ class ICPConfig:
             raise ValueError(
                 "score_precision must be auto|highest|high|bf16"
             )
+        if self.refine_stride < 0:
+            raise ValueError("refine_stride must be >= 0 (0 = auto)")
+        if self.refine_full_iters < 1:
+            raise ValueError("refine_full_iters must be >= 1")
         if bool(self.feat_nn) != (self.feat_nn_weight > 0):
             raise ValueError(
                 "feature matching needs BOTH feat_nn (channel name) and "
@@ -247,6 +266,11 @@ class ICPConfig:
             if tgt_capacity >= self.payload_infold_threshold
             else "gather"
         )
+
+    def resolve_refine_stride(self, tgt_capacity: int) -> int:
+        if self.refine_stride:
+            return self.refine_stride
+        return 2 if tgt_capacity >= self.refine_stride_threshold else 1
 
     def resolve_payload_prec(self) -> str:
         # "auto" = "high": bf16 selection measured as a speed WASH at 8M
@@ -756,6 +780,56 @@ def _register_jit(
             p0 = init.apply(src_xyz).reshape(tq, sq, 3)
             cand_ref = _candidate_tiles(p0, tgt_index, k_ref)[0]
 
+        # Multi-resolution refine: bulk iterations on every
+        # refine_stride-th row WITHIN each query tile (same tiles, same
+        # boxes — the frozen candidate list is reused verbatim), full
+        # resolution only for the last `refine_full_iters`. The pose from
+        # a 1/stride spatially-uniform subsample is statistically within
+        # noise of the full solve; the full-res tail polishes it and
+        # produces full-res convergence statistics (config docstring).
+        stride_r = config.resolve_refine_stride(tgt.capacity)
+        mid = (
+            stride_r > 1
+            and sq % stride_r == 0
+            and sq // stride_r >= 8
+            and not fused
+        )
+        mid_iters = jnp.int32(0)
+        if mid:
+            sq_m = sq // stride_r
+            dn = src_n_s.shape[1]
+
+            def substride(arr, d=None):
+                a = arr.reshape(tq, sq, d) if d else arr.reshape(tq, sq)
+                return a[:, ::stride_r].reshape(-1, d) if d else (
+                    a[:, ::stride_r].reshape(-1)
+                )
+
+            cfg_m = dataclasses.replace(
+                config,
+                diff_threshold=config.diff_threshold / stride_r,
+            )
+            res_m = _icp_scan(
+                cfg_m,
+                substride(src_xyz, 3),
+                substride(src_mask),
+                substride(src_n_s, dn),
+                init,
+                make_nn(
+                    tq, sq_m, k_ref, cand=cand_ref,
+                    qfeat=substride(src_f) if use_feat else None,
+                ),
+                aux_rot=aux_rot,
+                prev_rmse0=prev_rmse0,
+                src_w=substride(src_w) if src_w is not None else None,
+            )
+            init = res_m.transform
+            prev_rmse0 = res_m.final_rmse
+            mid_iters = res_m.iters
+            config = dataclasses.replace(
+                config, max_iters=config.refine_full_iters
+            )
+
         res = _icp_scan(
             config, src_xyz, src_mask, src_n_s, init,
             make_nn(
@@ -766,6 +840,8 @@ def _register_jit(
             prev_rmse0=prev_rmse0,
             src_w=src_w,
         )
+        if mid:
+            res = res.replace(iters=res.iters + mid_iters)
         if coarse:
             res = res.replace(iters=res.iters + res_c.iters)
         return res
