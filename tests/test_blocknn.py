@@ -446,6 +446,123 @@ def test_register_payload_modes_equivalent(rng):
     )
 
 
+def test_refine_stride_parity_and_history(rng):
+    """refine_stride=2 — the auto default above refine_stride_threshold —
+    agrees with stride 1 on the recovered pose, in the exact auto
+    combination the 8M bench runs (infold payload + Sq=128 query tiles),
+    scaled down to CPU size. Also pins the round-4 history contract: the
+    mid phase's diff/rmse iterations are merged into the returned
+    histories (sized config.max_iters), total refine iterations stay
+    within max_iters, and a mid-phase stop carries into `converged`."""
+    from icpx.geometry.transforms import make_rigid_perturbation
+    from icpx.registration.icp import _register_jit
+
+    n = 40960
+    xyz = synthetic_surface(n, seed=11)
+    src = PointCloud.create(xyz, capacity=n)
+    gt = make_rigid_perturbation(angle=0.2, translation=(0.15, -0.1, 0.05))
+    tgt_np = np.asarray(gt.apply(src.xyz))[:n]
+    perm = rng.permutation(n)
+    tgt = PointCloud.create(tgt_np[perm], capacity=n).replace(
+        mask=src.mask[perm]
+    )
+    results = {}
+    for stride in (1, 2):
+        cfg = ICPConfig(
+            max_iters=10, diff_threshold=0.0, rmse_change_tol=1e-6,
+            nn_method="block", payload_mode="infold", block_q_tile=128,
+            block_q_tile_large=0, refine_stride=stride,
+        )
+        res = _register_jit(
+            src, tgt, SE3.identity(), cfg, normals_for=("src", "tgt")
+        )
+        rot_err, t_err = res.transform.distance_to(gt)
+        assert float(rot_err) < 5e-3 and float(t_err) < 5e-3, stride
+        results[stride] = res
+    # pose parity: the strided mid phase must land on the same pose
+    np.testing.assert_allclose(
+        np.asarray(results[1].transform.R),
+        np.asarray(results[2].transform.R),
+        atol=2e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(results[1].transform.t),
+        np.asarray(results[2].transform.t),
+        atol=2e-3,
+    )
+    res2 = results[2]
+    assert res2.diff_history.shape == (10,)
+    assert res2.rmse_history.shape == (10,)
+    coarse_iters = 2  # config default; counted in iters, not histories
+    refine_iters = int(res2.iters) - coarse_iters
+    assert refine_iters <= 10  # max_iters bounds mid + full-res tail
+    diffs = np.asarray(res2.diff_history)
+    assert int(np.isfinite(diffs).sum()) == refine_iters
+    # histories are contiguous from the front (mid first, then tail)
+    assert np.all(np.isfinite(diffs[:refine_iters]))
+    assert not np.any(np.isfinite(diffs[refine_iters:]))
+    # rmse_change_tol stopped the mid phase; converged must carry
+    assert bool(res2.converged)
+
+
+def test_register_batch_block_matches_single(rng):
+    """The vmapped block batch (round-4 small-pair path) recovers the
+    same poses as running each pair through the single-pair block
+    pipeline — the batch axis must not perturb builds, in-jit normals,
+    candidate ranking, or the phase schedule."""
+    from icpx.geometry.transforms import make_rigid_perturbation
+    from icpx.registration.icp import (
+        _register_jit,
+        register_batch_block,
+    )
+
+    b, n = 2, 40960
+    cfg = ICPConfig(
+        max_iters=8, diff_threshold=0.0, rmse_change_tol=1e-6,
+        nn_method="block",
+    )
+    sxs, txs, gts = [], [], []
+    for i in range(b):
+        xyz = synthetic_surface(n, seed=20 + i)
+        gt = make_rigid_perturbation(
+            angle=0.12 + 0.03 * i, translation=(0.1, -0.04 * i, 0.02)
+        )
+        txs.append(np.asarray(gt.apply(jnp.asarray(xyz)))[rng.permutation(n)])
+        sxs.append(xyz)
+        gts.append(gt)
+    sx = jnp.stack([jnp.asarray(s) for s in sxs])
+    tx = jnp.stack([jnp.asarray(t) for t in txs])
+    ones = jnp.ones((b, n), bool)
+    res_b = register_batch_block(sx, ones, tx, ones, cfg)
+    for i in range(b):
+        Tb = SE3(R=res_b.transform.R[i], t=res_b.transform.t[i])
+        rot_err, t_err = Tb.distance_to(gts[i])
+        assert float(rot_err) < 5e-3 and float(t_err) < 5e-3
+        # single-pair reference (register() centers; replicate by hand
+        # is unnecessary — identical tgt centroid handling in both paths)
+        from icpx.registration.icp import register as _register
+
+        res_1 = _register(
+            PointCloud(xyz=sx[i], mask=ones[i]),
+            PointCloud(xyz=tx[i], mask=ones[i]),
+            cfg,
+        )
+        np.testing.assert_allclose(
+            np.asarray(Tb.R), np.asarray(res_1.transform.R), atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(Tb.t), np.asarray(res_1.transform.t), atol=2e-4
+        )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="block"):
+        register_batch_block(
+            sx[:, :1024], ones[:, :1024], tx[:, :1024], ones[:, :1024],
+            ICPConfig(),
+        )
+
+
 def test_trim_index_valid_prefix(rng):
     """trim_index relies on valid rows occupying a global prefix of the
     sorted layout; verify it and the view's correctness for both builders
