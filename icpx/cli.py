@@ -48,6 +48,21 @@ def _add_icp_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--robust", default="none",
                    choices=["none", "huber", "tukey", "welsch", "cauchy"])
     p.add_argument("--nn", default="auto", choices=["auto", "brute", "block"])
+    p.add_argument("--score-precision", default="auto",
+                   choices=["auto", "highest", "high", "bf16"],
+                   help="MXU precision of the block-NN score einsum. auto "
+                        "= bf16 on accelerators (tile-centered coords make "
+                        "one native pass bit-equivalent in outcome, "
+                        "measured at 1M/8M), highest on CPU. Force "
+                        "'highest' for coordinate-extreme inputs")
+    p.add_argument("--payload-mode", default="auto",
+                   choices=["auto", "gather", "infold"],
+                   help="how matched target rows reach the solve: coherent "
+                        "row gather (fastest <=1M pts) or in-fold MXU "
+                        "selection (table-size-independent; auto >=2M)")
+    p.add_argument("--fused", default="auto", choices=["auto", "on", "off"],
+                   help="fused Pallas NN fold (small recall edge; XLA fold "
+                        "is the measured speed default)")
     p.add_argument("--pyramid-levels", type=int, default=1)
     p.add_argument("--config", type=Path, default=None,
                    help="JSON file of ICPConfig overrides")
@@ -77,6 +92,9 @@ def _icp_config(args):
         max_corr_dist=args.max_corr_dist,
         robust=args.robust,
         nn_method=args.nn,
+        score_precision=getattr(args, "score_precision", "auto"),
+        payload_mode=getattr(args, "payload_mode", "auto"),
+        block_fused=getattr(args, "fused", "auto"),
         feat_nn=getattr(args, "feat_nn", None) or "",
         feat_nn_weight=_resolve_feat_weight(args),
     )
@@ -264,6 +282,7 @@ def cmd_odometry(args) -> int:
         backend=args.backend,
         window=args.window,
         dynamic_sigma=args.dynamic_sigma,
+        stall_timeout_s=args.stall_timeout,
     )
     if args.compiled:
         # whole-sequence single-program path (fast; scan-to-keyframe only)
@@ -551,6 +570,10 @@ def main(argv=None) -> int:
                         "(fastest; scan-to-keyframe only, measured edges; "
                         "--resume/--backend/--dynamic-sigma need the host "
                         "path)")
+    p.add_argument("--stall-timeout", type=float, default=-1.0,
+                   help="seconds before a hung per-frame device fence "
+                        "raises CollectiveStallError (-1 = auto: off on "
+                        "CPU, 600s on accelerators; 0 = off)")
     p.add_argument("--metrics", default=None)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--resume", default=None,

@@ -8,7 +8,13 @@ from icpx.distributed.map_ep import (
     sharded_map_register,
 )
 from icpx.distributed.pipeline import pipelined_pyramid_register
-from icpx.distributed.fault import HeartbeatMonitor, drop_shard, corrupt_points
+from icpx.distributed.fault import (
+    CollectiveStallError,
+    HeartbeatMonitor,
+    corrupt_points,
+    drop_shard,
+    guarded_call,
+)
 
 __all__ = [
     "make_mesh",
@@ -21,7 +27,9 @@ __all__ = [
     "routed_map_nn",
     "sharded_map_register",
     "pipelined_pyramid_register",
+    "CollectiveStallError",
     "HeartbeatMonitor",
+    "guarded_call",
     "drop_shard",
     "corrupt_points",
 ]

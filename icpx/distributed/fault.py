@@ -75,6 +75,60 @@ class HeartbeatMonitor:
         self.stop()
 
 
+class CollectiveStallError(RuntimeError):
+    """A device fence (collective / transfer / relay round-trip) failed to
+    complete within the watchdog timeout — the multi-host failure mode
+    JAX cannot surface itself (a lost peer stalls the collective forever),
+    and the single-chip tunnel-stall mode this environment documents
+    (NOTES.md: trivial fetches hanging for tens of minutes)."""
+
+
+def guarded_call(fn: Callable, timeout_s: float, on_stall: Optional[Callable] = None):
+    """Run `fn` (a device-completion fence: scalar fetch or
+    `block_until_ready`) under a `HeartbeatMonitor`; raise
+    `CollectiveStallError` if it does not complete within `timeout_s`.
+
+    The fence runs in a worker thread because a stalled fence blocks
+    inside the runtime's C call — the main thread cannot be interrupted
+    there, so detection must come from outside the call. `timeout_s <= 0`
+    runs `fn` inline (watchdog off — the CPU/test default).
+    """
+    if timeout_s <= 0:
+        return fn()
+    box: dict = {}
+
+    def work():
+        try:
+            box["value"] = fn()
+        except BaseException as e:  # surfaced in the caller below
+            box["error"] = e
+
+    with HeartbeatMonitor(timeout_s=timeout_s, on_stall=on_stall) as mon:
+        t = threading.Thread(target=work, daemon=True)
+        t.start()
+        while t.is_alive() and not mon.stalled:
+            t.join(min(timeout_s / 20, 1.0))
+        if t.is_alive():
+            raise CollectiveStallError(
+                f"device fence did not complete within {timeout_s:.0f}s — "
+                "stalled collective (lost host) or hung device transport; "
+                "checkpoint-and-restart is the recovery path (SURVEY §5.3)"
+            )
+        mon.beat()
+    if "error" in box:
+        raise box["error"]
+    return box["value"]
+
+
+def default_stall_timeout(warmup: bool = False) -> float:
+    """Watchdog default for entry points: off on CPU (tests, no transport
+    to stall), generous on accelerators (first compile can take minutes;
+    steady-state still catches the documented tens-of-minutes stalls)."""
+    if jax.default_backend() == "cpu":
+        return 0.0
+    return 1200.0 if warmup else 600.0
+
+
 def degenerate_solve_guard(transform, stats, prev_transform):
     """Reject a solve update when its convergence stats are non-finite or
     the inlier count collapsed — keep the previous transform instead.

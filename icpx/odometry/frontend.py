@@ -87,6 +87,12 @@ class OdometryConfig:
     # into the frontend's keyframe chain. "none" = raw odometry chain.
     backend: str = "none"
     window: int = 10
+    # Stall watchdog (SURVEY §5.3): each frame's device fence runs under
+    # a HeartbeatMonitor and raises CollectiveStallError after this many
+    # seconds instead of hanging silently (the multi-host lost-peer mode,
+    # and this environment's documented tunnel stalls). 0 disables;
+    # -1 = auto (off on CPU, on for accelerator backends).
+    stall_timeout_s: float = -1.0
 
 
 @dataclasses.dataclass
@@ -373,6 +379,14 @@ def run_odometry(
                 win.marginalize_to_window()
         start = ck.frame_index + 1
 
+    from icpx.distributed.fault import default_stall_timeout, guarded_call
+
+    stall_t = (
+        default_stall_timeout()
+        if config.stall_timeout_s < 0
+        else config.stall_timeout_s
+    )
+
     for k in range(start, len(frames)):
         init = prev_rel @ velocity if config.constant_velocity_init else prev_rel
         if use_map:
@@ -392,7 +406,12 @@ def run_odometry(
         # recovery valve: after 2 consecutive rejections, accept whatever
         # ICP found rather than dead-reckon into divergence forever.
         correction = init.inverse() @ rel
-        corr_t = float(jnp.linalg.norm(correction.t))
+        # This scalar fetch is the frame's device-completion fence; under
+        # the watchdog a stalled device/host raises instead of hanging
+        # (checkpoint + --resume is the recovery path).
+        corr_t = guarded_call(
+            lambda c=correction: float(jnp.linalg.norm(c.t)), stall_t
+        )
         corr_r = float(correction.rotation_angle())
         finite = np.isfinite(corr_t) and np.isfinite(
             np.asarray(rel.t)

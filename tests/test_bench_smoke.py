@@ -41,6 +41,15 @@ def test_bench_flagship_smoke(monkeypatch, capsys):
     assert rec["value"] > 0
 
 
+def test_bench_batch_smoke(monkeypatch, capsys):
+    rec = _run_bench(
+        monkeypatch, capsys,
+        ["--batch", "2", "--n", "40960", "--reps", "1", "--iters", "6"],
+    )
+    assert rec["metric"] == "batched_registered_points_per_sec_per_chip"
+    assert rec["value"] > 0
+
+
 def test_bench_cat_smoke(monkeypatch, capsys):
     rec = _run_bench(monkeypatch, capsys, ["--cat", "--reps", "1"])
     assert rec["metric"] == "cat_pair_registered_points_per_sec"
