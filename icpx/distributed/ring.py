@@ -5,8 +5,16 @@ to replicate per device), each device keeps its resident query shard and
 the target shards rotate around the ring via `lax.ppermute` (XLA maps this
 onto ICI neighbor links). Each step folds one visiting target shard into a
 running (min-distance, global-index) accumulator — exactly blockwise/ring
-attention with min instead of softmax accumulation. n_steps == ring size;
-comm fully overlaps with the per-shard NN compute under XLA's scheduler.
+attention with min instead of softmax accumulation. n_steps == ring size.
+
+Comm/compute overlap: the compiled loop body keeps every `ppermute`
+schedule-independent of the fold compute — 0 compute ancestors, 0
+descendants, with the full per-shard fold available to hide it behind
+(verified structurally on the compiled HLO by
+tests/test_hlo_overlap.py; `scripts/hlo_dump.py ring` prints the
+report). That is the precondition for the TPU LatencyHidingScheduler's
+async collective-permute-start/done conversion; actual wall-clock
+overlap on multi-chip hardware remains unmeasured in this environment.
 
 Use inside `shard_map` with a named mesh axis.
 """
