@@ -14,9 +14,12 @@ This version runs the ENTIRE sequence inside a single `lax.scan`:
     `jnp.where` selects on the carry — no host involvement until the
     final trajectory comes back.
 
-Trade-offs vs the host loop: fixed per-frame iteration budget, brute NN
-against the keyframe (static shapes), no map mode / loop closures (run
-those host-side on the returned keyframes).
+Trade-offs vs the host loop: fixed per-frame iteration budget, no map
+mode / loop closures (run those host-side on the returned keyframes).
+NN against the keyframe follows `ICPConfig.nn_method` ("auto"): one
+fused Pallas brute pass at LiDAR scan sizes, and per-step KD tile-index
+builds inside the scan body above `block_auto_threshold` points — both
+static-shape, both inside the one compiled program.
 
 Parity with the host frontend (VERDICT round-1 item 7): the program
 returns the MEASURED keyframe-to-frame registration per step (`edge_rel`)

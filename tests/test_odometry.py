@@ -52,6 +52,46 @@ def test_odometry_recovers_trajectory(sim_sequence):
     assert len(res.edges) >= 1
 
 
+def test_odometry_bounded_under_sensor_pathologies():
+    """Round-4 VERDICT #9: with the LiDAR-realistic simulator switches on
+    — beam-grid occlusion (nearest return per angular cell) AND 20%
+    per-ray dropout — odometry ATE stays bounded. Also sanity-checks the
+    pathology models themselves: occlusion thins dense directions, the
+    intensity channel is present and varies."""
+    world = make_world(n_points=60000, extent=30.0, seed=0)
+    traj = make_trajectory(10, speed=0.6, turn=0.04)
+    frames = simulate_scans(
+        world, traj, max_range=18.0, points_per_scan=3072, noise=0.01,
+        seed=1, occlusion=True, dropout=0.2, with_intensity=True,
+    )
+    # intensity channel exists and is non-degenerate
+    inten = frames[0].feat("intensity")
+    valid = np.asarray(frames[0].mask)
+    iv = np.asarray(inten)[valid]
+    assert iv.std() > 0.02  # albedo spread survived
+    # occlusion + dropout leave fewer returns than the raw cut
+    raw = simulate_scans(
+        world, traj[:1], max_range=18.0, points_per_scan=3072,
+        noise=0.01, seed=1,
+    )
+    assert valid.sum() <= np.asarray(raw[0].mask).sum()
+    cfg = OdometryConfig(
+        icp=ICPConfig(
+            objective="symmetric",
+            max_iters=12,
+            diff_threshold=0.0,
+            rmse_change_tol=1e-6,
+            robust="huber",
+            max_corr_dist=2.0,
+        ),
+        keyframe_trans=1.0,
+        keyframe_rot=0.2,
+    )
+    res = run_odometry(frames, cfg)
+    ate = ate_rmse(res.poses, traj)
+    assert ate < 0.15, f"ATE {ate} under occlusion + 20% dropout"
+
+
 def test_odometry_posegraph_refinement(sim_sequence):
     frames, gt = sim_sequence
     cfg = OdometryConfig(
