@@ -330,6 +330,134 @@ def block_radius_moments_fused(
     return cnt, mean, cov
 
 
+# ---- take 5 (round 4): fused PAYLOAD SELECT --------------------------------
+#
+# Takes 1-4 fused the score+min fold and lost/tied: XLA already streams
+# candidate tiles at the HBM roofline and fuses the min. What XLA can
+# NOT avoid materializing is the infold payload path's one-hot operand
+# (lane == win): a (Tq, Sq, S) tensor written to and read from HBM per
+# candidate step, which only exists on the >= 2M operating points —
+# exactly the regime with the 75% efficiency ratio (NOTES levers #1).
+#
+# Take 5 therefore fuses ONLY the payload delivery: the XLA fold keeps
+# producing (d2, pos); this kernel turns pos into payload rows entirely
+# in VMEM — onehot(candidate flat positions == pos) built on the VPU,
+# then a contraction-depth-(k*S) batched MXU matmul against the
+# pre-gathered candidate payload. fp32 payload exactness comes from the
+# classic hi/lo bf16 split (two MXU passes, exact to f32 roundoff;
+# the onehot operand is exactly representable). Outputs are written
+# (group, D, Sq) — lane dim Sq=128 clean — sidestepping take 4's fatal
+# (N, 1)/(.., D) lane-padding write amplification.
+#
+# With frozen refine candidates the pre-gathered (Tq, k*S, D) operand is
+# LOOP-INVARIANT across refine iterations (XLA hoists it out of the
+# while_loop), so steady-state per-iteration payload traffic is one
+# linear read of the candidate payload + a (Tq, D, Sq) write.
+
+
+def _select_kernel(pos_ref, cp_ref, pl_ref, out_ref):
+    pos = pos_ref[...]  # (g, Sq) int32 flat sorted positions
+    cp = cp_ref[...]  # (g, kS) int32 candidate flat positions
+    oh = (cp[:, None, :] == pos[:, :, None]).astype(jnp.bfloat16)
+    plv = pl_ref[...]  # (g, kS, D) f32
+    # 3-term bf16 split: 24 mantissa bits => f32-exact selection (the
+    # 2-term split leaves ~2^-16 relative error — coordinate payloads at
+    # cloud-extent magnitudes cannot afford that).
+    hi = plv.astype(jnp.bfloat16)
+    r1 = plv - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    dn = (((2,), (1,)), ((0,), (0,)))
+    sel = (
+        jax.lax.dot_general(oh, hi, dn, preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(oh, mid, dn, preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(oh, lo, dn, preferred_element_type=jnp.float32)
+    )  # (g, Sq, D)
+    out_ref[...] = jnp.swapaxes(sel, 1, 2)  # (g, D, Sq): lane dim = Sq
+
+
+@functools.partial(jax.jit, static_argnames=("group", "interpret"))
+def payload_select_fused(
+    pos: jax.Array,  # (Tq, Sq) int32 from block_nn(return_pos=True)
+    cand_tiles: jax.Array,  # (Tq, k) — the SAME list the fold used
+    payload_tiles: jax.Array,  # (T, S, D)
+    *,
+    group: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Matched payload rows (Tq*Sq, D) for positions produced by
+    `block_nn(..., return_pos=True, cand_tiles=cand_tiles)`.
+
+    Matches the gather path `payload.reshape(-1, D)[pos]` bit-for-bit on
+    hit rows (fp32 hi/lo-split selection). Miss rows (fold min stayed
+    inf, pos = 0) yield zeros unless tile 0 is among that query tile's
+    candidates — in which case they get tile 0 row 0, the same value the
+    gather path returns; callers gate misses by d == inf either way.
+    """
+    tq, sq = pos.shape
+    t, s, d_pl = payload_tiles.shape
+    k = cand_tiles.shape[1]
+    ks = k * s
+    d_pad = -(-d_pl // 8) * 8  # sublane-align the (D, Sq) output block
+    interpret = interpret or jax.default_backend() != "tpu"
+
+    pl_cand = payload_tiles[cand_tiles].reshape(tq, ks, d_pl)
+    if d_pad != d_pl:
+        pl_cand = jnp.concatenate(
+            [pl_cand, jnp.zeros((tq, ks, d_pad - d_pl), jnp.float32)],
+            axis=2,
+        )
+    candpos = (
+        cand_tiles[:, :, None] * s
+        + jnp.arange(s, dtype=jnp.int32)[None, None, :]
+    ).reshape(tq, ks)
+
+    pad_t = (-tq) % group
+    if pad_t:
+        pos = jnp.concatenate(
+            [pos, jnp.full((pad_t, sq), -1, jnp.int32)]
+        )
+        candpos = jnp.concatenate(
+            [candpos, jnp.full((pad_t, ks), -2, jnp.int32)]
+        )
+        pl_cand = jnp.concatenate(
+            [pl_cand, jnp.zeros((pad_t, ks, d_pad), jnp.float32)]
+        )
+    g = (tq + pad_t) // group
+
+    out = pl.pallas_call(
+        _select_kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(
+                (group, sq), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (group, ks), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (group, ks, d_pad),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (group, d_pad, sq), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (g * group, d_pad, sq), jnp.float32
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(pos, candpos, pl_cand)
+
+    out = jnp.swapaxes(out[:tq], 1, 2).reshape(tq * sq, d_pad)
+    return out[:, :d_pl]
+
+
 def use_fused_default() -> bool:
     """Whether the fused Pallas fold should be the default: NO — final
     verdict of the four-take campaign (module docstring). Measured on the

@@ -204,8 +204,10 @@ class ICPConfig:
             raise ValueError("src_tile_index must be ''|kd|morton")
         if self.block_fused not in ("auto", "on", "off"):
             raise ValueError("block_fused must be auto|on|off")
-        if self.payload_mode not in ("auto", "gather", "infold"):
-            raise ValueError("payload_mode must be auto|gather|infold")
+        if self.payload_mode not in ("auto", "gather", "infold", "select"):
+            raise ValueError(
+                "payload_mode must be auto|gather|infold|select"
+            )
         if self.payload_prec not in ("auto", "high", "bf16"):
             raise ValueError("payload_prec must be auto|high|bf16")
         if self.score_precision not in ("auto", "highest", "high", "bf16"):
@@ -660,11 +662,15 @@ def _register_jit(
         # (28 vs 32.5 ms/iter) but scales super-linearly with table size
         # (263 ms/iter at 8M); in-fold one-hot MXU selection is
         # table-size-independent (chip A/B 2026-08-19, NOTES.md).
-        infold = (
-            not fused
-            and config.resolve_payload(tgt.capacity) == "infold"
-        )
-        if infold:
+        pmode = config.resolve_payload(tgt.capacity)
+        infold = not fused and pmode == "infold"
+        # "select" (take 5, round 4): XLA fold produces (d2, pos) at its
+        # measured roofline; a Pallas kernel turns pos into payload rows
+        # entirely in VMEM (kernels/blocknn_pallas.py). Engages on
+        # frozen-candidate phases (refine/mid); phases without a frozen
+        # list fall back to the coherent row gather.
+        select = not fused and pmode == "select"
+        if infold or select:
             from icpx.kernels.blocknn import block_nn_payload
 
             tgt_pl_tiles = tgt_pl.reshape(
@@ -713,6 +719,16 @@ def _register_jit(
                         feat_weight=config.feat_nn_weight,
                         score_prec=config.resolve_score_prec(),
                     )
+                    if select and cand is not None:
+                        from icpx.kernels.blocknn_pallas import (
+                            payload_select_fused,
+                        )
+
+                        pl = payload_select_fused(
+                            pos.reshape(n_tiles, tile_rows), cand,
+                            tgt_pl_tiles,
+                        )
+                        return pl[:, :3], pl[:, 3:], jnp.sqrt(d2)
                 # pad/miss rows carry d2=inf (gated by the validity mask
                 # downstream); their PAD_COORD coords are finite, so
                 # zero-weight rows cannot produce NaNs in the solve.

@@ -423,7 +423,7 @@ def test_register_payload_modes_equivalent(rng):
         mask=src.mask[perm]
     )
     results = {}
-    for mode in ("gather", "infold"):
+    for mode in ("gather", "infold", "select"):
         cfg = ICPConfig(
             max_iters=8, diff_threshold=0.0, rmse_change_tol=1e-6,
             nn_method="block", payload_mode=mode,
@@ -434,16 +434,17 @@ def test_register_payload_modes_equivalent(rng):
         rot_err, t_err = res.transform.distance_to(gt)
         assert float(rot_err) < 5e-3 and float(t_err) < 5e-3, mode
         results[mode] = res
-    np.testing.assert_allclose(
-        np.asarray(results["gather"].transform.R),
-        np.asarray(results["infold"].transform.R),
-        atol=1e-5,
-    )
-    np.testing.assert_allclose(
-        np.asarray(results["gather"].rmse_history),
-        np.asarray(results["infold"].rmse_history),
-        rtol=1e-4, atol=1e-7,
-    )
+    for other in ("infold", "select"):
+        np.testing.assert_allclose(
+            np.asarray(results["gather"].transform.R),
+            np.asarray(results[other].transform.R),
+            atol=1e-5, err_msg=other,
+        )
+        np.testing.assert_allclose(
+            np.asarray(results["gather"].rmse_history),
+            np.asarray(results[other].rmse_history),
+            rtol=1e-4, atol=1e-7, err_msg=other,
+        )
 
 
 def test_refine_stride_parity_and_history(rng):
