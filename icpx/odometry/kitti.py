@@ -183,14 +183,22 @@ def simulate_scans(
     rng = np.random.default_rng(seed)
     frames = []
     cap = ((points_per_scan + 127) // 128) * 128
-    # Height-keyed albedo (vertical structures reflect brighter than the
-    # undulating ground in make_world): stable per WORLD point so the
-    # same surface patch carries the same intensity in every scan.
-    albedo = (
-        0.25
-        + 0.5 * np.clip(world[:, 2] / 4.0, 0.0, 1.0)
-        + 0.05 * rng.standard_normal(world.shape[0])
-    ).astype(np.float32)
+    albedo = None
+    if with_intensity:
+        # Height-keyed albedo (vertical structures reflect brighter than
+        # the undulating ground in make_world): stable per WORLD point so
+        # the same surface patch carries the same intensity in every
+        # scan. Drawn from a SEPARATE generator so the default-flag
+        # subsample/noise stream (and every measured baseline built on
+        # it) is untouched.
+        albedo = (
+            0.25
+            + 0.5 * np.clip(world[:, 2] / 4.0, 0.0, 1.0)
+            + 0.05
+            * np.random.default_rng(seed + 7919).standard_normal(
+                world.shape[0]
+            )
+        ).astype(np.float32)
     for pose in trajectory:
         center = np.asarray(pose.t)
         d2 = ((world - center[None, :]) ** 2).sum(1)
@@ -235,9 +243,13 @@ def simulate_scans(
         if with_intensity:
             rr = np.sqrt((pts**2).sum(1))
             atten = 1.0 - 0.5 * np.clip(rr / max_range, 0.0, 1.0) ** 2
+            # separate generator: intensity must not perturb the
+            # geometry stream (subsample/noise draws stay identical
+            # whether the channel is requested or not)
+            irng = np.random.default_rng(seed + 104729 + len(frames))
             inten = (
                 albedo[near[near_idx]] * atten
-                + 0.02 * rng.standard_normal(len(near_idx))
+                + 0.02 * irng.standard_normal(len(near_idx))
             ).astype(np.float32)
             feats = inten[:, None]
             feat_names = ("intensity",)
