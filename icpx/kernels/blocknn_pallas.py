@@ -355,25 +355,38 @@ def block_radius_moments_fused(
 # linear read of the candidate payload + a (Tq, D, Sq) write.
 
 
-def _select_kernel(pos_ref, cp_ref, pl_ref, out_ref):
-    pos = pos_ref[...]  # (g, Sq) int32 flat sorted positions
-    cp = cp_ref[...]  # (g, kS) int32 candidate flat positions
-    oh = (cp[:, None, :] == pos[:, :, None]).astype(jnp.bfloat16)
-    plv = pl_ref[...]  # (g, kS, D) f32
-    # 3-term bf16 split: 24 mantissa bits => f32-exact selection (the
-    # 2-term split leaves ~2^-16 relative error — coordinate payloads at
-    # cloud-extent magnitudes cannot afford that).
-    hi = plv.astype(jnp.bfloat16)
-    r1 = plv - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
-    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    dn = (((2,), (1,)), ((0,), (0,)))
-    sel = (
-        jax.lax.dot_general(oh, hi, dn, preferred_element_type=jnp.float32)
-        + jax.lax.dot_general(oh, mid, dn, preferred_element_type=jnp.float32)
-        + jax.lax.dot_general(oh, lo, dn, preferred_element_type=jnp.float32)
-    )  # (g, Sq, D)
-    out_ref[...] = jnp.swapaxes(sel, 1, 2)  # (g, D, Sq): lane dim = Sq
+def _select_kernel(pos_ref, cp_ref, pl_ref, out_ref, *, group):
+    # static unroll over the group dim: Mosaic's tpu.matmul rejects
+    # batched bf16 dot_generals ("Bad lhs type"); per-tile 2D dots with
+    # contraction depth k*S compile and keep full MXU utilization.
+    for j in range(group):
+        pos = pos_ref[j]  # (Sq,) int32 flat sorted positions
+        cp = cp_ref[j]  # (kS,) int32 candidate flat positions
+        oh = (cp[None, :] == pos[:, None]).astype(jnp.bfloat16)  # (Sq, kS)
+        plv = pl_ref[j]  # (kS, D) f32
+        # 3-term bf16 split: 24 mantissa bits => f32-exact selection
+        # (a 2-term split leaves ~2^-16 relative error — coordinate
+        # payloads at cloud-extent magnitudes cannot afford that).
+        hi = plv.astype(jnp.bfloat16)
+        r1 = plv - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        dn = (((1,), (0,)), ((), ()))
+        # precision DEFAULT explicitly: the package pins
+        # jax_default_matmul_precision=highest, and Mosaic rejects
+        # bf16 operands with an fp32 contract precision ("Bad lhs
+        # type") — one native bf16 pass with f32 accumulate is exactly
+        # what we want here anyway.
+        kw = dict(
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        sel = (
+            jax.lax.dot_general(oh, hi, dn, **kw)
+            + jax.lax.dot_general(oh, mid, dn, **kw)
+            + jax.lax.dot_general(oh, lo, dn, **kw)
+        )  # (Sq, D)
+        out_ref[j] = sel.T  # (D, Sq): lane dim = Sq
 
 
 @functools.partial(jax.jit, static_argnames=("group", "interpret"))
@@ -426,7 +439,7 @@ def payload_select_fused(
     g = (tq + pad_t) // group
 
     out = pl.pallas_call(
-        _select_kernel,
+        functools.partial(_select_kernel, group=group),
         grid=(g,),
         in_specs=[
             pl.BlockSpec(
@@ -456,6 +469,160 @@ def payload_select_fused(
 
     out = jnp.swapaxes(out[:tq], 1, 2).reshape(tq * sq, d_pad)
     return out[:, :d_pl]
+
+
+# ---- take 6 (round 4): whole-fold VMEM kernel, per-tile candidates ---------
+#
+# The round-4 stage breakdown (scripts/exp_stage4.py, chip) showed the
+# XLA fold's 11.3 ms/iter at 1M matches the HBM cost of MATERIALIZING
+# the (Tq, Sq, S) score tensor per candidate step (~6.4 GB/iter), and
+# the payload row gather costs another ~25 ms/iter — the two together
+# dominate every refine iteration. Take 4 kept the score in VMEM but
+# tied anyway because its per-GROUP candidate unions inflate the scored
+# set ~2.7x (U~16 union tiles vs k=6 per-tile candidates). Take 6 keeps
+# take 4's VPU broadcast score and take 5's MXU payload select, but
+# scores each query tile against ITS OWN k candidates (pre-gathered by
+# XLA as contiguous tile rows — near-DMA, and loop-invariant under
+# frozen refine candidates, so XLA hoists the gather out of the ICP
+# while_loop): no union inflation, no score/one-hot HBM round trips, no
+# row gather.
+
+
+def _fold6_kernel(q_ref, rt_ref, pl_ref, d_out, pl_out, *, group, k):
+    for j in range(group):
+        q = q_ref[j]  # (Sq, 3) current transformed queries
+        qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3]
+        qq = jnp.sum(q * q, axis=1, keepdims=True)  # (Sq, 1)
+        parts = []
+        for c in range(k):
+            r = rt_ref[j, c]  # (4, S): x, y, z, ||r||^2 rows
+            parts.append(
+                r[3:4] - 2.0 * (qx * r[0:1] + qy * r[1:2] + qz * r[2:3])
+            )  # (Sq, S) VPU broadcast FMAs
+        sc = jnp.concatenate(parts, axis=1)  # (Sq, kS)
+        smin = jnp.min(sc, axis=1, keepdims=True)
+        lane = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1)
+        ks = sc.shape[1]
+        # lowest-lane tiebreak: payload is always one actual row
+        win = jnp.min(
+            jnp.where(sc <= smin, lane, ks), axis=1, keepdims=True
+        )
+        oh = (lane == win).astype(jnp.bfloat16)  # (Sq, kS) exact
+        plv = pl_ref[j]  # (kS, D) f32
+        hi = plv.astype(jnp.bfloat16)
+        r1 = plv - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        dn = (((1,), (0,)), ((), ()))
+        kw = dict(
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        sel = (
+            jax.lax.dot_general(oh, hi, dn, **kw)
+            + jax.lax.dot_general(oh, mid, dn, **kw)
+            + jax.lax.dot_general(oh, lo, dn, **kw)
+        )  # (Sq, D)
+        d_out[j] = jnp.maximum(smin[:, 0] + qq[:, 0], 0.0)
+        pl_out[j] = sel.T  # (D, Sq): lane dim = Sq
+
+
+@functools.partial(jax.jit, static_argnames=("group", "interpret"))
+def block_fold_fused(
+    query_tiles: jax.Array,  # (Tq, Sq, 3) CURRENT transformed queries
+    cand_tiles: jax.Array,  # (Tq, k) frozen candidate tile ids
+    index: TileIndex,
+    payload_tiles: jax.Array,  # (T, S, D)
+    *,
+    group: int = 16,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """One NN iteration's full fold in VMEM: (sqdist (Tq*Sq,), payload
+    rows (Tq*Sq, D)) — drop-in for block_nn + payload delivery on
+    frozen-candidate phases (`ICPConfig.payload_mode="vmem"`).
+
+    Score is f32 VPU (same precision class as the tile-centered bf16 MXU
+    score: cancellation error ~ near-tie argmin swaps; take 4 measured
+    recall BETTER than the XLA fold this way). Payload selection is
+    f32-exact (3-term bf16 split). Misses (all candidates sentinel) get
+    huge scores -> inf distance, sentinel-row payload — the same
+    observable contract as the gather path.
+    """
+    tq, sq, _ = query_tiles.shape
+    t, s, d_pl = payload_tiles.shape
+    k = cand_tiles.shape[1]
+    d_pad = -(-d_pl // 8) * 8
+    interpret = interpret or jax.default_backend() != "tpu"
+
+    # loop-invariant pre-gathers (XLA hoists these out of the ICP loop):
+    # (Tq, k, 4, S) candidate rows in take-4's transposed layout
+    rr = jnp.sum(index.tiles**2, axis=2)
+    rt = jnp.concatenate(
+        [jnp.swapaxes(index.tiles, 1, 2), rr[:, None, :]], axis=1
+    )  # (T, 4, S)
+    rt_cand = rt[cand_tiles]  # (Tq, k, 4, S)
+    pl_cand = payload_tiles[cand_tiles].reshape(tq, k * s, d_pl)
+    if d_pad != d_pl:
+        pl_cand = jnp.concatenate(
+            [pl_cand, jnp.zeros((tq, k * s, d_pad - d_pl), jnp.float32)],
+            axis=2,
+        )
+
+    pad_t = (-tq) % group
+    if pad_t:
+        query_tiles = jnp.concatenate(
+            [query_tiles,
+             jnp.full((pad_t, sq, 3), PAD_COORD, jnp.float32)]
+        )
+        rt_cand = jnp.concatenate(
+            [rt_cand,
+             jnp.full((pad_t, k, 4, s), PAD_COORD, jnp.float32)]
+        )
+        pl_cand = jnp.concatenate(
+            [pl_cand, jnp.zeros((pad_t, k * s, d_pad), jnp.float32)]
+        )
+    g = (tq + pad_t) // group
+
+    d, pl_t = pl.pallas_call(
+        functools.partial(_fold6_kernel, group=group, k=k),
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(
+                (group, sq, 3), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (group, k, 4, s), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (group, k * s, d_pad), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (group, sq), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (group, d_pad, sq), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g * group, sq), jnp.float32),
+            jax.ShapeDtypeStruct((g * group, d_pad, sq), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(query_tiles, rt_cand, pl_cand)
+
+    d = d[:tq].reshape(-1)
+    d = jnp.where(d < 1e15, d, jnp.inf)
+    pl_rows = jnp.swapaxes(pl_t[:tq], 1, 2).reshape(tq * sq, d_pad)
+    return d, pl_rows[:, :d_pl]
 
 
 def use_fused_default() -> bool:

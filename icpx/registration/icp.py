@@ -204,9 +204,11 @@ class ICPConfig:
             raise ValueError("src_tile_index must be ''|kd|morton")
         if self.block_fused not in ("auto", "on", "off"):
             raise ValueError("block_fused must be auto|on|off")
-        if self.payload_mode not in ("auto", "gather", "infold", "select"):
+        if self.payload_mode not in (
+            "auto", "gather", "infold", "select", "vmem"
+        ):
             raise ValueError(
-                "payload_mode must be auto|gather|infold|select"
+                "payload_mode must be auto|gather|infold|select|vmem"
             )
         if self.payload_prec not in ("auto", "high", "bf16"):
             raise ValueError("payload_prec must be auto|high|bf16")
@@ -670,7 +672,12 @@ def _register_jit(
         # frozen-candidate phases (refine/mid); phases without a frozen
         # list fall back to the coherent row gather.
         select = not fused and pmode == "select"
-        if infold or select:
+        # "vmem" (take 6, round 4): the WHOLE per-iteration fold — score,
+        # min, payload selection — in one VMEM kernel over per-tile
+        # frozen candidates (no HBM score/one-hot round trips, no row
+        # gather). Same frozen-candidate gating as "select".
+        vmem_fold = not fused and not use_feat and pmode == "vmem"
+        if infold or select or vmem_fold:
             from icpx.kernels.blocknn import block_nn_payload
 
             tgt_pl_tiles = tgt_pl.reshape(
@@ -685,6 +692,15 @@ def _register_jit(
                     if qfeat is not None
                     else None
                 )
+                if vmem_fold and cand is not None:
+                    from icpx.kernels.blocknn_pallas import (
+                        block_fold_fused,
+                    )
+
+                    d2, pl = block_fold_fused(
+                        ptiles, cand, tgt_index, tgt_pl_tiles
+                    )
+                    return pl[:, :3], pl[:, 3:], jnp.sqrt(d2)
                 if fused:
                     from icpx.kernels.blocknn_pallas import block_nn_fused4
 

@@ -423,7 +423,7 @@ def test_register_payload_modes_equivalent(rng):
         mask=src.mask[perm]
     )
     results = {}
-    for mode in ("gather", "infold", "select"):
+    for mode in ("gather", "infold", "select", "vmem"):
         cfg = ICPConfig(
             max_iters=8, diff_threshold=0.0, rmse_change_tol=1e-6,
             nn_method="block", payload_mode=mode,
@@ -434,12 +434,24 @@ def test_register_payload_modes_equivalent(rng):
         rot_err, t_err = res.transform.distance_to(gt)
         assert float(rot_err) < 5e-3 and float(t_err) < 5e-3, mode
         results[mode] = res
-    for other in ("infold", "select"):
+    for other in ("infold", "select", "vmem"):
         np.testing.assert_allclose(
             np.asarray(results["gather"].transform.R),
             np.asarray(results[other].transform.R),
             atol=1e-5, err_msg=other,
         )
+        if other == "vmem":
+            # take-6 scores on the f32 VPU (not the bf16-centered MXU):
+            # near-tie NN picks differ, so histories agree only to the
+            # converged noise floor, and the stop can shift by an iter.
+            assert (
+                abs(
+                    float(results[other].final_rmse)
+                    - float(results["gather"].final_rmse)
+                )
+                < 5e-6
+            )
+            continue
         np.testing.assert_allclose(
             np.asarray(results["gather"].rmse_history),
             np.asarray(results[other].rmse_history),
