@@ -625,6 +625,134 @@ def block_fold_fused(
     return d, pl_rows[:, :d_pl]
 
 
+# ---- take-6 moments: per-tile candidates, per-query-tile centering ----------
+#
+# Same diagnosis as the fold: `block_radius_moments` materializes
+# (Tq, Sq, S) score and weight tensors through HBM per candidate step,
+# and the union-based fused kernel (`block_radius_moments_fused`) only
+# tied because U >> k_tiles inflated the scored set. This variant scores
+# each query tile against its OWN k_tiles candidates with the identical
+# per-query-tile centering the jnp path uses (bit-comparable moments),
+# entirely in VMEM.
+
+
+def _moments6_kernel(q8_ref, rtf_ref, m_out, *, group, k):
+    for j in range(group):
+        q8 = q8_ref[j]  # (Sq, 8)
+        m = jnp.zeros((16, q8.shape[0]), jnp.float32)
+        for c in range(k):
+            rtf = rtf_ref[j, c]  # (16, S)
+            score = jax.lax.dot_general(
+                q8,
+                rtf[0:8],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (Sq, S) = d^2 - r^2
+            w = (score <= 0.0).astype(jnp.float32)
+            m = m + jax.lax.dot_general(
+                rtf,
+                w,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (16, Sq)
+        m_out[j] = m
+
+
+@functools.partial(jax.jit, static_argnames=("k_tiles", "group", "interpret"))
+def block_radius_moments_fused6(
+    query_tiles: jax.Array,
+    index: TileIndex,
+    radius: jax.Array,
+    *,
+    k_tiles: int = 2,
+    group: int = 8,
+    interpret: bool = False,
+):
+    """Drop-in for `blocknn.block_radius_moments` (count, mean, cov) with
+    the whole weight/moment fold in VMEM and no union inflation."""
+    tq, sq, _ = query_tiles.shape
+    t, s, _ = index.tiles.shape
+    interpret = interpret or jax.default_backend() != "tpu"
+
+    cand, q_cent = _candidate_tiles(query_tiles, index, k_tiles)
+    k = cand.shape[1]
+
+    qc = query_tiles - q_cent[:, None, :]
+    qq = jnp.sum(qc * qc, axis=2)
+    q8 = jnp.concatenate(
+        [
+            -2.0 * qc,
+            jnp.ones((tq, sq, 1), jnp.float32),
+            (qq - radius * radius)[..., None],
+            jnp.zeros((tq, sq, 3), jnp.float32),
+        ],
+        axis=2,
+    )  # (Tq, Sq, 8)
+
+    rg = index.tiles[cand]  # (Tq, k, S, 3)
+    rc = rg - q_cent[:, None, None, :]
+    x, y, z = rc[..., 0], rc[..., 1], rc[..., 2]
+    rtf = jnp.stack(
+        [x, y, z, x * x + y * y + z * z, jnp.ones_like(x),
+         x * x, y * y, z * z, x * y, x * z, y * z,
+         jnp.zeros_like(x), jnp.zeros_like(x), jnp.zeros_like(x),
+         jnp.zeros_like(x), jnp.zeros_like(x)],
+        axis=2,
+    )  # (Tq, k, 16, S)
+
+    pad_t = (-tq) % group
+    if pad_t:
+        q8 = jnp.concatenate(
+            [q8, jnp.zeros((pad_t, sq, 8), jnp.float32)
+             .at[..., 4].set(_BIG)]
+        )
+        rtf = jnp.concatenate(
+            [rtf, jnp.zeros((pad_t, k, 16, s), jnp.float32)]
+        )
+    g = (tq + pad_t) // group
+
+    mT = pl.pallas_call(
+        functools.partial(_moments6_kernel, group=group, k=k),
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(
+                (group, sq, 8), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (group, k, 16, s), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (group, 16, sq), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((g * group, 16, sq), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(q8, rtf)
+
+    n = tq * sq
+    m = jnp.swapaxes(mT[:tq], 1, 2).reshape(n, 16)
+    cnt = m[:, 4]
+    safe = jnp.maximum(cnt, 1.0)[:, None]
+    mean_c = m[:, 0:3] / safe
+    exx = jnp.stack(
+        [
+            jnp.stack([m[:, 5], m[:, 8], m[:, 9]], axis=1),
+            jnp.stack([m[:, 8], m[:, 6], m[:, 10]], axis=1),
+            jnp.stack([m[:, 9], m[:, 10], m[:, 7]], axis=1),
+        ],
+        axis=1,
+    ) / safe[..., None]
+    cov = exx - mean_c[:, :, None] * mean_c[:, None, :]
+    mean = mean_c + jnp.repeat(q_cent, sq, axis=0)
+    return cnt, mean, cov
+
+
 def use_fused_default() -> bool:
     """Whether the fused Pallas fold should be the default: NO — final
     verdict of the four-take campaign (module docstring). Measured on the

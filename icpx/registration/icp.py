@@ -166,6 +166,12 @@ class ICPConfig:
     # payload cost is layout/traffic-bound, not matmul-pass-bound, so
     # "auto" keeps "high" (fp32-exact payload values for free).
     payload_prec: str = "auto"
+    # Moment-accumulation execution for in-jit normals: "xla" folds via
+    # jnp einsums (materializes (Tq,Sq,S) weight tensors through HBM),
+    # "vmem" uses the take-6 Pallas kernel (per-tile candidates, fold in
+    # VMEM; f32-roundoff-identical moments). "auto" resolves per backend
+    # after the round-4 chip A/B.
+    moments_mode: str = "auto"
     block_auto_threshold: int = 32768
     # Tile partitioner: "kd" (median-cut, compact boxes — measured 0.01%
     # NN miss at the defaults vs ~5% for Morton ranges on uniform volumes)
@@ -210,6 +216,8 @@ class ICPConfig:
             raise ValueError(
                 "payload_mode must be auto|gather|infold|select|vmem"
             )
+        if self.moments_mode not in ("auto", "xla", "vmem"):
+            raise ValueError("moments_mode must be auto|xla|vmem")
         if self.payload_prec not in ("auto", "high", "bf16"):
             raise ValueError("payload_prec must be auto|high|bf16")
         if self.score_precision not in ("auto", "highest", "high", "bf16"):
@@ -281,6 +289,12 @@ class ICPConfig:
             return self.refine_stride
         cap = min(src_capacity, tgt_capacity)
         return 2 if cap >= self.refine_stride_threshold else 1
+
+    def resolve_moments(self) -> str:
+        # "auto" = "xla" until the round-4 chip A/B flips it.
+        if self.moments_mode != "auto":
+            return self.moments_mode
+        return "xla"
 
     def resolve_payload_prec(self) -> str:
         # "auto" = "high": bf16 selection measured as a speed WASH at 8M
@@ -507,11 +521,15 @@ def gicp_cov_rot(T, aux):
     return jnp.einsum("ij,njk,lk->nil", T.R, C, T.R).reshape(-1, 9)
 
 
-def _index_normals(index, k_normals, k_tiles=4, prec="highest"):
+def _index_normals(index, k_normals, k_tiles=4, prec="highest", mode="xla"):
     """PCA normals for an index's own tiles (self-query radius moments):
     (normals, valid_count) in SORTED tile order. The shared-index fast
     path — one KD build serves NN search and normal estimation
-    (`pcl::NormalEstimation` equivalent, `myicp.cpp:152-172`)."""
+    (`pcl::NormalEstimation` equivalent, `myicp.cpp:152-172`).
+
+    `mode="vmem"` runs the moment fold in the take-6 Pallas kernel
+    (per-tile candidates, whole weight/moment fold in VMEM — matches the
+    XLA fold to f32 roundoff, see blocknn_pallas.py)."""
     import numpy as np
 
     from icpx.kernels.blocknn import block_radius_moments
@@ -522,9 +540,16 @@ def _index_normals(index, k_normals, k_tiles=4, prec="highest"):
     valid = index.order >= 0
     scale = 3.0 * float(np.sqrt(max(k_normals, 1) / 10.0))
     radius = auto_cell_size(flat, valid, scale=scale)
-    cnt, _, cov = block_radius_moments(
-        index.tiles, index, radius, k_tiles=k_tiles, prec=prec
-    )
+    if mode == "vmem":
+        from icpx.kernels.blocknn_pallas import block_radius_moments_fused6
+
+        cnt, _, cov = block_radius_moments_fused6(
+            index.tiles, index, radius, k_tiles=k_tiles
+        )
+    else:
+        cnt, _, cov = block_radius_moments(
+            index.tiles, index, radius, k_tiles=k_tiles, prec=prec
+        )
     normal, _ = smallest_eigenvector_3x3(cov)
     # orient toward the (centered-frame) viewpoint at the origin
     flip = jnp.sum(normal * (-flat), axis=-1) < 0.0
@@ -630,7 +655,10 @@ def _register_jit(
             # -5 ms at 1M but degraded recovered rotation from exact to
             # 4.9e-4 rad (chip A/B 2026-08-19) — normal noise biases the
             # symmetric solve SYSTEMATICALLY, unlike NN near-tie swaps.
-            src_n_s = _index_normals(s_idx, config.k_normals, k_tiles=2)
+            src_n_s = _index_normals(
+                s_idx, config.k_normals, k_tiles=2,
+                mode=config.resolve_moments(),
+            )
         else:
             src_n_s = jnp.where(valid[:, None], src_n[safe], 0.0)
         # Target payload in SORTED tile layout: NN returns sorted flat
@@ -643,7 +671,8 @@ def _register_jit(
         tgt_sorted = tgt_index.tiles.reshape(-1, 3)
         if "tgt" in normals_for:
             tgt_n_sorted = _index_normals(
-                tgt_index, config.k_normals, k_tiles=2
+                tgt_index, config.k_normals, k_tiles=2,
+                mode=config.resolve_moments(),
             )
         else:
             from icpx.kernels.blocknn import tile_payload

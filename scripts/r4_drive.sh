@@ -43,6 +43,12 @@ step tiles1m 2400 3 python scripts/exp_tiles.py 1048576 \
 step tiles8m 3600 3 python scripts/exp_tiles.py 8388608 \
   "{'auto(infold)': dict(), 'select': dict(payload_mode='select'), 'vmem': dict(payload_mode='vmem')}"
 
+# 2b. moments-mode A/B (take-6 moments kernel vs XLA fold)
+step mom1m 2400 3 python scripts/exp_tiles.py 1048576 \
+  "{'mom xla': dict(), 'mom vmem': dict(moments_mode='vmem'), 'vmem+mom': dict(payload_mode='vmem', moments_mode='vmem')}"
+step mom8m 3600 3 python scripts/exp_tiles.py 8388608 \
+  "{'mom xla': dict(), 'mom vmem': dict(moments_mode='vmem'), 'vmem+mom': dict(payload_mode='vmem', moments_mode='vmem')}"
+
 # 3. refine_stride A/B at 8M (advisor r3 medium #2: validate auto-on)
 step stride8m 3000 3 python scripts/exp_tiles.py 8388608 \
   "{'stride auto(2)': dict(), 'stride 1': dict(refine_stride=1)}"
