@@ -32,6 +32,9 @@ from icpx.kernels.blocknn import (
 )
 from icpx.registration.icp import ICPConfig, _index_normals
 
+from icpx.cli import _enable_compile_cache
+_enable_compile_cache()
+
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 20
 K = int(sys.argv[2]) if len(sys.argv) > 2 else (8 if N <= 2 << 20 else 4)
 

@@ -18,6 +18,9 @@ from icpx.geometry.transforms import make_rigid_perturbation
 from icpx.io.loaders import synthetic_surface
 from icpx.registration.icp import ICPConfig, _register_jit
 
+from icpx.cli import _enable_compile_cache
+_enable_compile_cache()
+
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 20
 
 xyz = synthetic_surface(N, seed=0)

@@ -43,6 +43,11 @@ step tiles1m 2400 3 python scripts/exp_tiles.py 1048576 \
 step tiles8m 3600 3 python scripts/exp_tiles.py 8388608 \
   "{'auto(infold)': dict(), 'select': dict(payload_mode='select'), 'vmem': dict(payload_mode='vmem')}"
 
+# 2a-bis: infold at 1M (stage breakdown r4: infold 21.7 vs gather-path
+# 36 ms/iter — the round-3 "gather wins at <=1M" call may have flipped)
+step tiles1m_if 2400 3 python scripts/exp_tiles.py 1048576 \
+  "{'infold': dict(payload_mode='infold')}"
+
 # 2b. moments-mode A/B (take-6 moments kernel vs XLA fold)
 step mom1m 2400 3 python scripts/exp_tiles.py 1048576 \
   "{'mom xla': dict(), 'mom vmem': dict(moments_mode='vmem'), 'vmem+mom': dict(payload_mode='vmem', moments_mode='vmem')}"
@@ -52,6 +57,9 @@ step mom8m 3600 3 python scripts/exp_tiles.py 8388608 \
 # 3. refine_stride A/B at 8M (advisor r3 medium #2: validate auto-on)
 step stride8m 3000 3 python scripts/exp_tiles.py 8388608 \
   "{'stride auto(2)': dict(), 'stride 1': dict(refine_stride=1)}"
+
+# 3b. build decomposition (NOTES lever #2 groundwork)
+step build1m 2400 3 python scripts/exp_build4.py 1048576 8
 
 # 4. batched small pairs (VERDICT #3)
 step batch16 2400 3 python bench.py --batch 16 --reps 3
