@@ -284,7 +284,39 @@ def build_kd_index(
             seg, widest[:, None, None], axis=2
         )[..., 0]  # (c, m)
         key = jnp.where(v, vals, PAD_COORD)
-        sort_by(key, c)
+        # 4-operand level sort (round 4): the key IS the widest-axis
+        # column, so carrying it as a payload too is pure waste — sort
+        # (key, other-axis-1, other-axis-2, orig) and reconstruct the
+        # widest column from the sorted key. Identical permutation
+        # (stable sort on the same key), bit-identical coordinates
+        # (carried values + the key's own exact values), ~1/5 less
+        # operand traffic per level sort. `sort_by` (5-op) remains for
+        # the Morton phase, whose key is not a coordinate.
+        oth1 = jnp.take_along_axis(
+            seg, (((widest + 1) % 3))[:, None, None], axis=2
+        )[..., 0]
+        oth2 = jnp.take_along_axis(
+            seg, (((widest + 2) % 3))[:, None, None], axis=2
+        )[..., 0]
+        o = jnp.where(valid, orig, -1)
+        key_s, a_s, b_s, og = jax.lax.sort(
+            (key, oth1, oth2, o.reshape(c, m)),
+            dimension=1,
+            num_keys=1,
+            is_stable=True,
+        )
+        cols = []
+        for x in range(3):
+            sel = (x - widest) % 3  # (c,)
+            cols.append(
+                jnp.where(
+                    (sel == 0)[:, None], key_s,
+                    jnp.where((sel == 1)[:, None], a_s, b_s),
+                )
+            )
+        pts = jnp.stack(cols, axis=-1).reshape(total, 3)
+        orig = og.reshape(total)
+        valid = orig >= 0
         c *= fan
 
     sorted_xyz = jnp.where(valid[:, None], pts, PAD_COORD)

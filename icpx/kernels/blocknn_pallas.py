@@ -495,9 +495,11 @@ def _fold6_kernel(q_ref, rt_ref, pl_ref, d_out, pl_out, *, group, k):
         qq = jnp.sum(q * q, axis=1, keepdims=True)  # (Sq, 1)
         parts = []
         for c in range(k):
-            r = rt_ref[j, c]  # (4, S): x, y, z, ||r||^2 rows
+            r = rt_ref[j, c]  # (3, S) raw candidate coords, transposed
+            rx, ry, rz = r[0:1], r[1:2], r[2:3]
+            rr = rx * rx + ry * ry + rz * rz  # (1, S) in VMEM
             parts.append(
-                r[3:4] - 2.0 * (qx * r[0:1] + qy * r[1:2] + qz * r[2:3])
+                rr - 2.0 * (qx * rx + qy * ry + qz * rz)
             )  # (Sq, S) VPU broadcast FMAs
         sc = jnp.concatenate(parts, axis=1)  # (Sq, kS)
         smin = jnp.min(sc, axis=1, keepdims=True)
@@ -554,19 +556,19 @@ def block_fold_fused(
     d_pad = -(-d_pl // 8) * 8
     interpret = interpret or jax.default_backend() != "tpu"
 
-    # loop-invariant pre-gathers (XLA hoists these out of the ICP loop):
-    # (Tq, k, 4, S) candidate rows in take-4's transposed layout
-    rr = jnp.sum(index.tiles**2, axis=2)
-    rt = jnp.concatenate(
-        [jnp.swapaxes(index.tiles, 1, 2), rr[:, None, :]], axis=1
-    )  # (T, 4, S)
-    rt_cand = rt[cand_tiles]  # (Tq, k, 4, S)
-    pl_cand = payload_tiles[cand_tiles].reshape(tq, k * s, d_pl)
+    # Loop-invariant pre-gathers (XLA hoists these out of the ICP loop).
+    # Keep XLA-side prep to PURE GATHERS of once-materialized tables:
+    # ||r||^2 and zero-padding are built in VMEM / on the small (T, ...)
+    # side — the earlier (Tq, k, 4, S) concat/expansion temps OOM'd HBM
+    # at 8M (HLO temps are full-size before fusion).
+    rt3 = jnp.swapaxes(index.tiles, 1, 2)  # (T, 3, S), built once
+    rt_cand = rt3[cand_tiles]  # (Tq, k, 3, S) contiguous-row gather
     if d_pad != d_pl:
-        pl_cand = jnp.concatenate(
-            [pl_cand, jnp.zeros((tq, k * s, d_pad - d_pl), jnp.float32)],
-            axis=2,
-        )
+        payload_tiles = jnp.concatenate(
+            [payload_tiles,
+             jnp.zeros((t, s, d_pad - d_pl), jnp.float32)], axis=2
+        )  # padded on the (T, ...) side: cheap, gathered once
+    pl_cand = payload_tiles[cand_tiles].reshape(tq, k * s, d_pad)
 
     pad_t = (-tq) % group
     if pad_t:
@@ -576,7 +578,7 @@ def block_fold_fused(
         )
         rt_cand = jnp.concatenate(
             [rt_cand,
-             jnp.full((pad_t, k, 4, s), PAD_COORD, jnp.float32)]
+             jnp.full((pad_t, k, 3, s), PAD_COORD, jnp.float32)]
         )
         pl_cand = jnp.concatenate(
             [pl_cand, jnp.zeros((pad_t, k * s, d_pad), jnp.float32)]
@@ -592,7 +594,7 @@ def block_fold_fused(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (group, k, 4, s), lambda i: (i, 0, 0, 0),
+                (group, k, 3, s), lambda i: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -636,19 +638,27 @@ def block_fold_fused(
 # entirely in VMEM.
 
 
-def _moments6_kernel(q8_ref, rtf_ref, m_out, *, group, k):
+def _moments6_kernel(q_ref, qc_ref, r2_ref, rt_ref, m_out, *, group, k):
+    r2 = r2_ref[0, 0]  # scalar radius^2
     for j in range(group):
-        q8 = q8_ref[j]  # (Sq, 8)
-        m = jnp.zeros((16, q8.shape[0]), jnp.float32)
+        cen = qc_ref[j]  # (1, 3) query-tile centroid
+        q = q_ref[j] - cen  # (Sq, 3) centered queries
+        qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3]
+        qq = jnp.sum(q * q, axis=1, keepdims=True)  # (Sq, 1)
+        m = jnp.zeros((16, q.shape[0]), jnp.float32)
         for c in range(k):
-            rtf = rtf_ref[j, c]  # (16, S)
-            score = jax.lax.dot_general(
-                q8,
-                rtf[0:8],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (Sq, S) = d^2 - r^2
-            w = (score <= 0.0).astype(jnp.float32)
+            r = rt_ref[j, c] - cen.T  # (3, S) centered candidates
+            rx, ry, rz = r[0:1], r[1:2], r[2:3]
+            rr = rx * rx + ry * ry + rz * rz  # (1, S)
+            d2 = qq + rr - 2.0 * (qx * rx + qy * ry + qz * rz)  # (Sq, S)
+            w = (d2 <= r2).astype(jnp.float32)  # sentinel rows: rr huge
+            rtf = jnp.concatenate(
+                [r, rr, jnp.ones_like(rr),
+                 rx * rx, ry * ry, rz * rz,
+                 rx * ry, rx * rz, ry * rz,
+                 jnp.zeros((5, r.shape[1]), jnp.float32)],
+                axis=0,
+            )  # (16, S) built in VMEM — no HBM feature expansion
             m = m + jax.lax.dot_general(
                 rtf,
                 w,
@@ -677,37 +687,25 @@ def block_radius_moments_fused6(
     cand, q_cent = _candidate_tiles(query_tiles, index, k_tiles)
     k = cand.shape[1]
 
-    qc = query_tiles - q_cent[:, None, :]
-    qq = jnp.sum(qc * qc, axis=2)
-    q8 = jnp.concatenate(
-        [
-            -2.0 * qc,
-            jnp.ones((tq, sq, 1), jnp.float32),
-            (qq - radius * radius)[..., None],
-            jnp.zeros((tq, sq, 3), jnp.float32),
-        ],
-        axis=2,
-    )  # (Tq, Sq, 8)
-
-    rg = index.tiles[cand]  # (Tq, k, S, 3)
-    rc = rg - q_cent[:, None, None, :]
-    x, y, z = rc[..., 0], rc[..., 1], rc[..., 2]
-    rtf = jnp.stack(
-        [x, y, z, x * x + y * y + z * z, jnp.ones_like(x),
-         x * x, y * y, z * z, x * y, x * z, y * z,
-         jnp.zeros_like(x), jnp.zeros_like(x), jnp.zeros_like(x),
-         jnp.zeros_like(x), jnp.zeros_like(x)],
-        axis=2,
-    )  # (Tq, k, 16, S)
+    # XLA prep = pure gathers of once-materialized tables (the feature
+    # expansion lives in VMEM — a (Tq, k, 16, S) HBM expansion OOM'd at
+    # 8M: full-size HLO temps before fusion).
+    rt3 = jnp.swapaxes(index.tiles, 1, 2)  # (T, 3, S)
+    rt_cand = rt3[cand]  # (Tq, k, 3, S)
+    qc3 = q_cent[:, None, :]  # (Tq, 1, 3)
+    r2 = (radius * radius).reshape(1, 1).astype(jnp.float32)
 
     pad_t = (-tq) % group
     if pad_t:
-        q8 = jnp.concatenate(
-            [q8, jnp.zeros((pad_t, sq, 8), jnp.float32)
-             .at[..., 4].set(_BIG)]
+        query_tiles = jnp.concatenate(
+            [query_tiles,
+             jnp.full((pad_t, sq, 3), PAD_COORD, jnp.float32)]
         )
-        rtf = jnp.concatenate(
-            [rtf, jnp.zeros((pad_t, k, 16, s), jnp.float32)]
+        qc3 = jnp.concatenate(
+            [qc3, jnp.zeros((pad_t, 1, 3), jnp.float32)]
+        )
+        rt_cand = jnp.concatenate(
+            [rt_cand, jnp.full((pad_t, k, 3, s), PAD_COORD, jnp.float32)]
         )
     g = (tq + pad_t) // group
 
@@ -716,11 +714,18 @@ def block_radius_moments_fused6(
         grid=(g,),
         in_specs=[
             pl.BlockSpec(
-                (group, sq, 8), lambda i: (i, 0, 0),
+                (group, sq, 3), lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (group, k, 16, s), lambda i: (i, 0, 0, 0),
+                (group, 1, 3), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (group, k, 3, s), lambda i: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -733,7 +738,7 @@ def block_radius_moments_fused6(
             dimension_semantics=("parallel",),
         ),
         interpret=interpret,
-    )(q8, rtf)
+    )(query_tiles, qc3, r2, rt_cand)
 
     n = tq * sq
     m = jnp.swapaxes(mT[:tq], 1, 2).reshape(n, 16)
