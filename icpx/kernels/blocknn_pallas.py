@@ -536,7 +536,7 @@ def block_fold_fused(
     index: TileIndex,
     payload_tiles: jax.Array,  # (T, S, D)
     *,
-    group: int = 16,
+    group: int = 4,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """One NN iteration's full fold in VMEM: (sqdist (Tq*Sq,), payload
@@ -617,6 +617,9 @@ def block_fold_fused(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
+            # the unrolled group loop's (Sq, kS) score/onehot temps live
+            # on the scoped-VMEM stack; the 16M default trips at group=16
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(query_tiles, rt_cand, pl_cand)
@@ -736,6 +739,7 @@ def block_radius_moments_fused6(
         out_shape=jax.ShapeDtypeStruct((g * group, 16, sq), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(query_tiles, qc3, r2, rt_cand)
