@@ -128,7 +128,7 @@ def block_nn_fused4(
     index: TileIndex,
     *,
     k_tiles: int = 8,
-    group: int = 4,
+    group: int = 8,
     u_max: int = 16,
     interpret: bool = False,
     return_pos: bool = False,
@@ -248,7 +248,7 @@ def block_radius_moments_fused(
     radius: jax.Array,
     *,
     k_tiles: int = 8,
-    group: int = 4,
+    group: int = 8,
     u_max: int = 16,
     interpret: bool = False,
 ):
@@ -536,7 +536,7 @@ def block_fold_fused(
     index: TileIndex,
     payload_tiles: jax.Array,  # (T, S, D)
     *,
-    group: int = 4,
+    group: int = 8,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """One NN iteration's full fold in VMEM: (sqdist (Tq*Sq,), payload
