@@ -128,7 +128,7 @@ def block_nn_fused4(
     index: TileIndex,
     *,
     k_tiles: int = 8,
-    group: int = 8,
+    group: int = 4,
     u_max: int = 16,
     interpret: bool = False,
     return_pos: bool = False,
@@ -248,7 +248,7 @@ def block_radius_moments_fused(
     radius: jax.Array,
     *,
     k_tiles: int = 8,
-    group: int = 8,
+    group: int = 4,
     u_max: int = 16,
     interpret: bool = False,
 ):
