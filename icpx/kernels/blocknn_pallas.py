@@ -489,42 +489,52 @@ def payload_select_fused(
 
 
 def _fold6_kernel(q_ref, rt_ref, pl_ref, d_out, pl_out, *, group, k):
+    # Two-pass per-tile fold, everything (Sq, S)-shaped — a (Sq, k*S)
+    # concat forces lane relayouts that cost more than the fold itself
+    # (first take-6 cut measured 227 vs 176 ms full-pipeline at 1M).
+    # Pass 1: running elementwise min over candidates (take-4 style).
+    # Pass 2: per-candidate masked one-hot + depth-S MXU select.
     for j in range(group):
         q = q_ref[j]  # (Sq, 3) current transformed queries
         qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3]
         qq = jnp.sum(q * q, axis=1, keepdims=True)  # (Sq, 1)
-        parts = []
+        sq = q.shape[0]
+        s = rt_ref.shape[3]
+        bs = jnp.full((sq, s), _BIG, jnp.float32)
+        bc = jnp.zeros((sq, s), jnp.int32)
         for c in range(k):
             r = rt_ref[j, c]  # (3, S) raw candidate coords, transposed
             rx, ry, rz = r[0:1], r[1:2], r[2:3]
             rr = rx * rx + ry * ry + rz * rz  # (1, S) in VMEM
-            parts.append(
-                rr - 2.0 * (qx * rx + qy * ry + qz * rz)
-            )  # (Sq, S) VPU broadcast FMAs
-        sc = jnp.concatenate(parts, axis=1)  # (Sq, kS)
-        smin = jnp.min(sc, axis=1, keepdims=True)
-        lane = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1)
-        ks = sc.shape[1]
-        # lowest-lane tiebreak: payload is always one actual row
-        win = jnp.min(
-            jnp.where(sc <= smin, lane, ks), axis=1, keepdims=True
-        )
-        oh = (lane == win).astype(jnp.bfloat16)  # (Sq, kS) exact
-        plv = pl_ref[j]  # (kS, D) f32
-        hi = plv.astype(jnp.bfloat16)
-        r1 = plv - hi.astype(jnp.float32)
-        mid = r1.astype(jnp.bfloat16)
-        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            score = rr - 2.0 * (qx * rx + qy * ry + qz * rz)  # (Sq, S)
+            better = score < bs
+            bs = jnp.where(better, score, bs)
+            bc = jnp.where(better, c, bc)  # earliest c wins ties
+        smin = jnp.min(bs, axis=1, keepdims=True)  # (Sq, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, bs.shape, 1)
+        # lowest-lane tiebreak among lanes achieving the global min
+        win = jnp.min(jnp.where(bs <= smin, lane, s), axis=1,
+                      keepdims=True)
+        base = (lane == win).astype(jnp.float32)  # (Sq, S) one column
         dn = (((1,), (0,)), ((), ()))
         kw = dict(
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT,
         )
-        sel = (
-            jax.lax.dot_general(oh, hi, dn, **kw)
-            + jax.lax.dot_general(oh, mid, dn, **kw)
-            + jax.lax.dot_general(oh, lo, dn, **kw)
-        )  # (Sq, D)
+        sel = None
+        for c in range(k):
+            ohc = (base * (bc == c)).astype(jnp.bfloat16)  # (Sq, S)
+            plv = pl_ref[j, c]  # (S, D) f32
+            hi = plv.astype(jnp.bfloat16)
+            r1 = plv - hi.astype(jnp.float32)
+            mid = r1.astype(jnp.bfloat16)
+            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            part = (
+                jax.lax.dot_general(ohc, hi, dn, **kw)
+                + jax.lax.dot_general(ohc, mid, dn, **kw)
+                + jax.lax.dot_general(ohc, lo, dn, **kw)
+            )  # (Sq, D)
+            sel = part if sel is None else sel + part
         d_out[j] = jnp.maximum(smin[:, 0] + qq[:, 0], 0.0)
         pl_out[j] = sel.T  # (D, Sq): lane dim = Sq
 
@@ -568,7 +578,7 @@ def block_fold_fused(
             [payload_tiles,
              jnp.zeros((t, s, d_pad - d_pl), jnp.float32)], axis=2
         )  # padded on the (T, ...) side: cheap, gathered once
-    pl_cand = payload_tiles[cand_tiles].reshape(tq, k * s, d_pad)
+    pl_cand = payload_tiles[cand_tiles]  # (Tq, k, S, d_pad)
 
     pad_t = (-tq) % group
     if pad_t:
@@ -581,7 +591,7 @@ def block_fold_fused(
              jnp.full((pad_t, k, 3, s), PAD_COORD, jnp.float32)]
         )
         pl_cand = jnp.concatenate(
-            [pl_cand, jnp.zeros((pad_t, k * s, d_pad), jnp.float32)]
+            [pl_cand, jnp.zeros((pad_t, k, s, d_pad), jnp.float32)]
         )
     g = (tq + pad_t) // group
 
@@ -598,7 +608,7 @@ def block_fold_fused(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (group, k * s, d_pad), lambda i: (i, 0, 0),
+                (group, k, s, d_pad), lambda i: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
