@@ -539,12 +539,52 @@ def _fold6_kernel(q_ref, rt_ref, pl_ref, d_out, pl_out, *, group, k):
         pl_out[j] = sel.T  # (D, Sq): lane dim = Sq
 
 
-@functools.partial(jax.jit, static_argnames=("group", "interpret"))
-def block_fold_fused(
-    query_tiles: jax.Array,  # (Tq, Sq, 3) CURRENT transformed queries
+def fold6_prepare(
     cand_tiles: jax.Array,  # (Tq, k) frozen candidate tile ids
     index: TileIndex,
     payload_tiles: jax.Array,  # (T, S, D)
+    group: int = 8,
+) -> Tuple[jax.Array, jax.Array, int]:
+    """Loop-invariant prep for `block_fold_fused_pre`: candidate coord
+    rows (Tq', k, 3, S) and payload rows (Tq', k, S, d_pad), group-padded.
+
+    Call ONCE per frozen-candidate phase (in _register_jit) and close
+    over the results: relying on XLA's while-loop LICM to hoist these
+    gathers does NOT hold at 8M — the compiler rematerializes the 1.6 GB
+    gather inside the loop with double buffering and OOMs HBM (measured:
+    a 25.8 GB allocation attempt).
+    """
+    tq, k = cand_tiles.shape
+    t, s, d_pl = payload_tiles.shape
+    d_pad = -(-d_pl // 8) * 8
+    rt3 = jnp.swapaxes(index.tiles, 1, 2)  # (T, 3, S), built once
+    rt_cand = rt3[cand_tiles]  # (Tq, k, 3, S) contiguous-row gather
+    if d_pad != d_pl:
+        payload_tiles = jnp.concatenate(
+            [payload_tiles,
+             jnp.zeros((t, s, d_pad - d_pl), jnp.float32)], axis=2
+        )  # padded on the (T, ...) side: cheap, gathered once
+    pl_cand = payload_tiles[cand_tiles]  # (Tq, k, S, d_pad)
+    pad_t = (-tq) % group
+    if pad_t:
+        rt_cand = jnp.concatenate(
+            [rt_cand,
+             jnp.full((pad_t, k, 3, s), PAD_COORD, jnp.float32)]
+        )
+        pl_cand = jnp.concatenate(
+            [pl_cand, jnp.zeros((pad_t, k, s, d_pad), jnp.float32)]
+        )
+    return rt_cand, pl_cand, d_pl
+
+
+@functools.partial(
+    jax.jit, static_argnames=("d_pl", "group", "interpret")
+)
+def block_fold_fused_pre(
+    query_tiles: jax.Array,  # (Tq, Sq, 3) CURRENT transformed queries
+    rt_cand: jax.Array,  # from fold6_prepare
+    pl_cand: jax.Array,  # from fold6_prepare
+    d_pl: int,
     *,
     group: int = 8,
     interpret: bool = False,
@@ -561,37 +601,15 @@ def block_fold_fused(
     observable contract as the gather path.
     """
     tq, sq, _ = query_tiles.shape
-    t, s, d_pl = payload_tiles.shape
-    k = cand_tiles.shape[1]
-    d_pad = -(-d_pl // 8) * 8
+    k, _, s = rt_cand.shape[1:]
+    d_pad = pl_cand.shape[3]
     interpret = interpret or jax.default_backend() != "tpu"
 
-    # Loop-invariant pre-gathers (XLA hoists these out of the ICP loop).
-    # Keep XLA-side prep to PURE GATHERS of once-materialized tables:
-    # ||r||^2 and zero-padding are built in VMEM / on the small (T, ...)
-    # side — the earlier (Tq, k, 4, S) concat/expansion temps OOM'd HBM
-    # at 8M (HLO temps are full-size before fusion).
-    rt3 = jnp.swapaxes(index.tiles, 1, 2)  # (T, 3, S), built once
-    rt_cand = rt3[cand_tiles]  # (Tq, k, 3, S) contiguous-row gather
-    if d_pad != d_pl:
-        payload_tiles = jnp.concatenate(
-            [payload_tiles,
-             jnp.zeros((t, s, d_pad - d_pl), jnp.float32)], axis=2
-        )  # padded on the (T, ...) side: cheap, gathered once
-    pl_cand = payload_tiles[cand_tiles]  # (Tq, k, S, d_pad)
-
-    pad_t = (-tq) % group
+    pad_t = rt_cand.shape[0] - tq
     if pad_t:
         query_tiles = jnp.concatenate(
             [query_tiles,
              jnp.full((pad_t, sq, 3), PAD_COORD, jnp.float32)]
-        )
-        rt_cand = jnp.concatenate(
-            [rt_cand,
-             jnp.full((pad_t, k, 3, s), PAD_COORD, jnp.float32)]
-        )
-        pl_cand = jnp.concatenate(
-            [pl_cand, jnp.zeros((pad_t, k, s, d_pad), jnp.float32)]
         )
     g = (tq + pad_t) // group
 
@@ -638,6 +656,27 @@ def block_fold_fused(
     d = jnp.where(d < 1e15, d, jnp.inf)
     pl_rows = jnp.swapaxes(pl_t[:tq], 1, 2).reshape(tq * sq, d_pad)
     return d, pl_rows[:, :d_pl]
+
+
+def block_fold_fused(
+    query_tiles: jax.Array,
+    cand_tiles: jax.Array,
+    index: TileIndex,
+    payload_tiles: jax.Array,
+    *,
+    group: int = 8,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Convenience one-shot wrapper (prep + fold). Production ICP calls
+    `fold6_prepare` once per phase and `block_fold_fused_pre` per
+    iteration instead (see fold6_prepare's OOM note)."""
+    rt_cand, pl_cand, d_pl = fold6_prepare(
+        cand_tiles, index, payload_tiles, group=group
+    )
+    return block_fold_fused_pre(
+        query_tiles, rt_cand, pl_cand, d_pl, group=group,
+        interpret=interpret,
+    )
 
 
 # ---- take-6 moments: per-tile candidates, per-query-tile centering ----------

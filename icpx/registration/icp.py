@@ -714,6 +714,30 @@ def _register_jit(
             )
 
         def make_nn(n_tiles, tile_rows, k_tiles, cand=None, qfeat=None):
+            if vmem_fold and cand is not None:
+                from icpx.kernels.blocknn_pallas import (
+                    block_fold_fused_pre,
+                    fold6_prepare,
+                )
+
+                # prep is loop-invariant per phase: computed HERE (at
+                # closure creation, outside the ICP while loop) so the
+                # 1.6 GB-at-8M candidate gathers happen once — XLA's
+                # loop LICM does not reliably hoist them (measured: a
+                # 25.8 GB remat allocation attempt inside the loop).
+                rt_c, pl_c, dpl = fold6_prepare(
+                    cand, tgt_index, tgt_pl_tiles
+                )
+
+                def nn_fn_vmem(p):
+                    d2, pl = block_fold_fused_pre(
+                        p.reshape(n_tiles, tile_rows, 3),
+                        rt_c, pl_c, dpl,
+                    )
+                    return pl[:, :3], pl[:, 3:], jnp.sqrt(d2)
+
+                return nn_fn_vmem
+
             def nn_fn(p):
                 ptiles = p.reshape(n_tiles, tile_rows, 3)
                 qf = (
@@ -721,15 +745,6 @@ def _register_jit(
                     if qfeat is not None
                     else None
                 )
-                if vmem_fold and cand is not None:
-                    from icpx.kernels.blocknn_pallas import (
-                        block_fold_fused,
-                    )
-
-                    d2, pl = block_fold_fused(
-                        ptiles, cand, tgt_index, tgt_pl_tiles
-                    )
-                    return pl[:, :3], pl[:, 3:], jnp.sqrt(d2)
                 if fused:
                     from icpx.kernels.blocknn_pallas import block_nn_fused4
 

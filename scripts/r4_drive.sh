@@ -41,12 +41,16 @@ step stage8m 2400 3 python scripts/exp_stage4.py 8388608 4
 step tiles1m 2400 3 python scripts/exp_tiles.py 1048576 \
   "{'auto(gather)': dict(), 'select': dict(payload_mode='select'), 'vmem': dict(payload_mode='vmem')}"
 step tiles8m 3600 3 python scripts/exp_tiles.py 8388608 \
-  "{'auto(infold)': dict(), 'select': dict(payload_mode='select'), 'vmem': dict(payload_mode='vmem')}"
+  "{'auto(infold)': dict(), 'vmem': dict(payload_mode='vmem')}"
 
 # 2a-bis: infold at 1M (stage breakdown r4: infold 21.7 vs gather-path
 # 36 ms/iter — the round-3 "gather wins at <=1M" call may have flipped)
 step tiles1m_if 2400 3 python scripts/exp_tiles.py 1048576 \
   "{'infold': dict(payload_mode='infold')}"
+
+# 2a-ter: fold6 v2 kernel A/B (two-pass min fold, hoisted pre-gathers)
+step tiles1m_v2 2400 3 python scripts/exp_tiles.py 1048576 \
+  "{'vmem v2': dict(payload_mode='vmem'), 'vmem+mom': dict(payload_mode='vmem', moments_mode='vmem')}"
 
 # 2b. moments-mode A/B (take-6 moments kernel vs XLA fold)
 step mom1m 2400 3 python scripts/exp_tiles.py 1048576 \
