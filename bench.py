@@ -55,6 +55,11 @@ def main():
                     "aggregate operating point; default --n 65536)")
     ap.add_argument("--odometry", action="store_true",
                     help="scan-to-scan odometry throughput (synthetic LiDAR)")
+    ap.add_argument("--odo-batch", action="store_true",
+                    help="with --odometry: register all F-1 consecutive "
+                    "pairs as ONE vmapped batch (identity init, no "
+                    "keyframe gating — the offline-mapping throughput "
+                    "operating point; odometry/parallel.py on one chip)")
     ap.add_argument("--frames", type=int, default=20)
     ap.add_argument("--scan-points", type=int, default=8192,
                     help="points per scan for --odometry")
@@ -371,6 +376,8 @@ def bench_odometry(args):
     frames = simulate_scans(
         world, gt, max_range=25.0, points_per_scan=n_pts, noise=0.01, seed=1
     )
+    if args.odo_batch:
+        return bench_odometry_batch(args, frames, gt)
     frames = [estimate_normals(f, k=args.k_normals) for f in frames]
     fx = jnp.stack([f.xyz for f in frames])
     fm = jnp.stack([f.mask for f in frames])
@@ -426,6 +433,110 @@ def bench_odometry(args):
         f"# odometry frames={len(frames)} pts/scan={n_pts} "
         f"wall={wall * 1e3:.0f}ms fps={len(frames) / wall:.1f} "
         f"ATE={ate:.4f}m keyframes={int(np_.asarray(out.is_keyframe).sum())}",
+        file=sys.stderr,
+    )
+
+
+def bench_odometry_batch(args, frames, gt):
+    """Odometry THROUGHPUT operating point: all F-1 consecutive scan
+    pairs register simultaneously in one vmapped executable
+    (`register_batch` / `register_batch_block`, the single-chip analogue
+    of odometry/parallel.py), then relative poses compose host-side.
+
+    This is the honest odometry counterpart of `--batch`: the sequential
+    compiled loop (`--odometry` without this flag) is LATENCY-bound —
+    frame k's motion-model init needs frame k-1's pose, so per-frame
+    fixed costs (solve, small matmuls, scan-step overhead) cannot
+    amortize and points/s is the wrong lens for it (fps is; see
+    BASELINE.md). When frames are already captured (offline mapping /
+    bag processing), the dependency disappears and throughput is the
+    north-star-comparable number. Identity init per pair, no keyframe
+    gating; the same ATE quality gate as the sequential config."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np_
+
+    from icpx.geometry.se3 import SE3
+    from icpx.kernels.normals import estimate_normals
+    from icpx.odometry.evaluate import ate_rmse
+    from icpx.registration.icp import (
+        ICPConfig,
+        register_batch,
+        register_batch_block,
+    )
+
+    n_pts = args.scan_points
+    f = len(frames)
+    cfg = ICPConfig(
+        objective=args.objective,
+        max_iters=args.iters,
+        diff_threshold=0.0,
+        rmse_change_tol=1e-6,
+        robust="huber",
+        max_corr_dist=2.0,
+        score_precision=args.score_precision,
+    )
+    block = cfg.resolve_nn(n_pts) == "block"
+    srcs, tgts = frames[1:], frames[:-1]
+    sx = jnp.stack([fr.xyz for fr in srcs])
+    sm = jnp.stack([fr.mask for fr in srcs])
+    tx = jnp.stack([fr.xyz for fr in tgts])
+    tm = jnp.stack([fr.mask for fr in tgts])
+    if block:
+        # block path estimates normals in-jit off the per-pair KD indexes
+        def run(sxx, eps):
+            res = register_batch_block(sxx + eps, sm, tx, tm, cfg)
+            return res.transform.R, res.transform.t, res.final_rmse
+
+    else:
+        srcs = [estimate_normals(fr, k=args.k_normals) for fr in srcs]
+        tgts = [estimate_normals(fr, k=args.k_normals) for fr in tgts]
+        sn = jnp.stack([fr.normals for fr in srcs])
+        tn = jnp.stack([fr.normals for fr in tgts])
+
+        def run(sxx, eps):
+            res = register_batch(sxx + eps, sm, sn, tx, tm, tn, cfg)
+            return res.transform.R, res.transform.t, res.final_rmse
+
+    run_j = jax.jit(run)
+    warm_t, step_t = _stall_timeouts(args)
+    out = run_j(sx, jnp.float32(0.0))
+    guarded_call(lambda: float(out[2][0]), warm_t)
+    times = []
+    for rep in range(args.reps):
+        t0 = time.perf_counter()
+        out = run_j(sx, jnp.float32((rep + 1) * 1e-7))
+        guarded_call(lambda o=out: jax.block_until_ready(o), step_t)
+        times.append(time.perf_counter() - t0)
+    wall = statistics.median(times)
+
+    Rb, tb, rmseb = jax.device_get(out)
+    poses = [SE3.identity()]
+    for k in range(f - 1):
+        rel = SE3(R=jnp.asarray(Rb[k]), t=jnp.asarray(tb[k]))
+        poses.append(poses[-1] @ rel)
+    gt_rel = [gt[0].inverse() @ g for g in gt]
+    ate = ate_rmse(poses, gt_rel, align=False)
+    ATE_BOUND_M = 0.5
+    quality_ok = bool(ate < ATE_BOUND_M)
+    pts_per_sec = f * n_pts / wall if quality_ok else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "odometry_batched_points_per_sec_per_chip",
+                "value": round(pts_per_sec, 1),
+                "unit": "points/s",
+                "vs_baseline": round(pts_per_sec / NORTH_STAR_PER_CHIP, 4),
+            }
+        )
+    )
+    print(
+        f"# odometry-batch frames={f} pts/scan={n_pts} nn="
+        f"{'block' if block else 'brute'} wall={wall * 1e3:.0f}ms "
+        f"ATE={ate:.4f}m worst_rmse={float(np_.max(rmseb)):.2e} "
+        f"times_ms={[round(t * 1e3, 1) for t in times]}",
         file=sys.stderr,
     )
 

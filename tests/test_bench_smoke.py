@@ -74,3 +74,47 @@ def test_bench_odometry_smoke(monkeypatch, capsys):
     )
     assert rec["metric"] == "odometry_registered_points_per_sec"
     assert rec["value"] > 0
+
+
+def test_bench_odometry_batch_smoke(monkeypatch, capsys):
+    rec = _run_bench(
+        monkeypatch,
+        capsys,
+        [
+            "--odometry",
+            "--odo-batch",
+            "--frames",
+            "4",
+            "--scan-points",
+            "1024",
+            "--reps",
+            "1",
+            "--iters",
+            "6",
+        ],
+    )
+    assert rec["metric"] == "odometry_batched_points_per_sec_per_chip"
+    assert rec["value"] > 0
+
+
+def test_bench_odometry_batch_block_smoke(monkeypatch, capsys):
+    # scan size above block_auto_threshold: the batch rides
+    # register_batch_block (in-jit normals, per-pair KD indexes)
+    rec = _run_bench(
+        monkeypatch,
+        capsys,
+        [
+            "--odometry",
+            "--odo-batch",
+            "--frames",
+            "3",
+            "--scan-points",
+            "32768",
+            "--reps",
+            "1",
+            "--iters",
+            "6",
+        ],
+    )
+    assert rec["metric"] == "odometry_batched_points_per_sec_per_chip"
+    assert rec["value"] > 0
