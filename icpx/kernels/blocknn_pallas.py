@@ -349,7 +349,7 @@ def block_radius_moments_fused(
 # (group, D, Sq) — lane dim Sq=128 clean — sidestepping take 4's fatal
 # (N, 1)/(.., D) lane-padding write amplification.
 #
-# With frozen refine candidates the pre-gathered (Tq, k*S, D) operand is
+# With frozen refine candidates the pre-gathered (Tq, D, k*S) operand is
 # LOOP-INVARIANT across refine iterations (XLA hoists it out of the
 # while_loop), so steady-state per-iteration payload traffic is one
 # linear read of the candidate payload + a (Tq, D, Sq) write.
@@ -363,7 +363,7 @@ def _select_kernel(pos_ref, cp_ref, pl_ref, out_ref, *, group):
         pos = pos_ref[j]  # (Sq,) int32 flat sorted positions
         cp = cp_ref[j]  # (kS,) int32 candidate flat positions
         oh = (cp[None, :] == pos[:, None]).astype(jnp.bfloat16)  # (Sq, kS)
-        plv = pl_ref[j]  # (kS, D) f32
+        plv = pl_ref[j]  # (D, kS) f32: lane dim = kS (S-minor layout)
         # 3-term bf16 split: 24 mantissa bits => f32-exact selection
         # (a 2-term split leaves ~2^-16 relative error — coordinate
         # payloads at cloud-extent magnitudes cannot afford that).
@@ -371,7 +371,8 @@ def _select_kernel(pos_ref, cp_ref, pl_ref, out_ref, *, group):
         r1 = plv - hi.astype(jnp.float32)
         mid = r1.astype(jnp.bfloat16)
         lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        dn = (((1,), (0,)), ((), ()))
+        # contract over kS on BOTH sides: payload rides (D, kS) transposed
+        dn = (((1,), (1,)), ((), ()))
         # precision DEFAULT explicitly: the package pins
         # jax_default_matmul_precision=highest, and Mosaic rejects
         # bf16 operands with an fp32 contract precision ("Bad lhs
@@ -414,12 +415,17 @@ def payload_select_fused(
     d_pad = -(-d_pl // 8) * 8  # sublane-align the (D, Sq) output block
     interpret = interpret or jax.default_backend() != "tpu"
 
-    pl_cand = payload_tiles[cand_tiles].reshape(tq, ks, d_pl)
+    # S-minor payload layout: (Tq, D, kS). A (.., kS, D) layout puts D
+    # in the lane dim and T(8,128) pads it to 128 lanes (16-21x HBM
+    # amplification — the 8M fold6 prep OOM'd exactly this way).
+    pl_t = jnp.swapaxes(payload_tiles, 1, 2)  # (T, d_pl, S)
     if d_pad != d_pl:
-        pl_cand = jnp.concatenate(
-            [pl_cand, jnp.zeros((tq, ks, d_pad - d_pl), jnp.float32)],
-            axis=2,
+        pl_t = jnp.concatenate(
+            [pl_t, jnp.zeros((t, d_pad - d_pl, s), jnp.float32)], axis=1
         )
+    pl_cand = jnp.swapaxes(pl_t[cand_tiles], 1, 2).reshape(
+        tq, d_pad, ks
+    )
     candpos = (
         cand_tiles[:, :, None] * s
         + jnp.arange(s, dtype=jnp.int32)[None, None, :]
@@ -434,7 +440,7 @@ def payload_select_fused(
             [candpos, jnp.full((pad_t, ks), -2, jnp.int32)]
         )
         pl_cand = jnp.concatenate(
-            [pl_cand, jnp.zeros((pad_t, ks, d_pad), jnp.float32)]
+            [pl_cand, jnp.zeros((pad_t, d_pad, ks), jnp.float32)]
         )
     g = (tq + pad_t) // group
 
@@ -449,7 +455,7 @@ def payload_select_fused(
                 (group, ks), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (group, ks, d_pad),
+                (group, d_pad, ks),
                 lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -516,7 +522,8 @@ def _fold6_kernel(q_ref, rt_ref, pl_ref, d_out, pl_out, *, group, k):
         win = jnp.min(jnp.where(bs <= smin, lane, s), axis=1,
                       keepdims=True)
         base = (lane == win).astype(jnp.float32)  # (Sq, S) one column
-        dn = (((1,), (0,)), ((), ()))
+        # contract over S on BOTH sides: payload rides (D, S) transposed
+        dn = (((1,), (1,)), ((), ()))
         kw = dict(
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT,
@@ -524,7 +531,7 @@ def _fold6_kernel(q_ref, rt_ref, pl_ref, d_out, pl_out, *, group, k):
         sel = None
         for c in range(k):
             ohc = (base * (bc == c)).astype(jnp.bfloat16)  # (Sq, S)
-            plv = pl_ref[j, c]  # (S, D) f32
+            plv = pl_ref[j, c]  # (D, S) f32: lane dim = S (see prep)
             hi = plv.astype(jnp.bfloat16)
             r1 = plv - hi.astype(jnp.float32)
             mid = r1.astype(jnp.bfloat16)
@@ -546,25 +553,32 @@ def fold6_prepare(
     group: int = 8,
 ) -> Tuple[jax.Array, jax.Array, int]:
     """Loop-invariant prep for `block_fold_fused_pre`: candidate coord
-    rows (Tq', k, 3, S) and payload rows (Tq', k, S, d_pad), group-padded.
+    rows (Tq', k, 3, S) and payload rows (Tq', k, d_pad, S), group-padded.
 
     Call ONCE per frozen-candidate phase (in _register_jit) and close
     over the results: relying on XLA's while-loop LICM to hoist these
     gathers does NOT hold at 8M — the compiler rematerializes the 1.6 GB
     gather inside the loop with double buffering and OOMs HBM (measured:
     a 25.8 GB allocation attempt).
+
+    Both prepped tensors keep S=128 as the MINOR dim: a (..., S, D)
+    payload layout puts D in the lane dim, which the TPU's T(8,128)
+    tiling pads to 128 lanes — at 8M that turned the 1.6 GB gather into
+    a 25.8 GB allocation (the compile-time OOM above) and wasted 16x
+    VMEM per kernel block. Transposed, D rides the sublane dim (8-row
+    pad only).
     """
     tq, k = cand_tiles.shape
     t, s, d_pl = payload_tiles.shape
     d_pad = -(-d_pl // 8) * 8
     rt3 = jnp.swapaxes(index.tiles, 1, 2)  # (T, 3, S), built once
     rt_cand = rt3[cand_tiles]  # (Tq, k, 3, S) contiguous-row gather
+    pl_t = jnp.swapaxes(payload_tiles, 1, 2)  # (T, d_pl, S), built once
     if d_pad != d_pl:
-        payload_tiles = jnp.concatenate(
-            [payload_tiles,
-             jnp.zeros((t, s, d_pad - d_pl), jnp.float32)], axis=2
+        pl_t = jnp.concatenate(
+            [pl_t, jnp.zeros((t, d_pad - d_pl, s), jnp.float32)], axis=1
         )  # padded on the (T, ...) side: cheap, gathered once
-    pl_cand = payload_tiles[cand_tiles]  # (Tq, k, S, d_pad)
+    pl_cand = pl_t[cand_tiles]  # (Tq, k, d_pad, S)
     pad_t = (-tq) % group
     if pad_t:
         rt_cand = jnp.concatenate(
@@ -572,7 +586,7 @@ def fold6_prepare(
              jnp.full((pad_t, k, 3, s), PAD_COORD, jnp.float32)]
         )
         pl_cand = jnp.concatenate(
-            [pl_cand, jnp.zeros((pad_t, k, s, d_pad), jnp.float32)]
+            [pl_cand, jnp.zeros((pad_t, k, d_pad, s), jnp.float32)]
         )
     return rt_cand, pl_cand, d_pl
 
@@ -602,7 +616,7 @@ def block_fold_fused_pre(
     """
     tq, sq, _ = query_tiles.shape
     k, _, s = rt_cand.shape[1:]
-    d_pad = pl_cand.shape[3]
+    d_pad = pl_cand.shape[2]  # (Tq', k, d_pad, S): S minor, see prep
     interpret = interpret or jax.default_backend() != "tpu"
 
     pad_t = rt_cand.shape[0] - tq
@@ -626,7 +640,7 @@ def block_fold_fused_pre(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (group, k, s, d_pad), lambda i: (i, 0, 0, 0),
+                (group, k, d_pad, s), lambda i: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
