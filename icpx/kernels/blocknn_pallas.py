@@ -501,7 +501,9 @@ def _fold6_kernel(q_ref, rt_ref, pl_ref, d_out, pl_out, *, group, k):
     # Pass 1: running elementwise min over candidates (take-4 style).
     # Pass 2: per-candidate masked one-hot + depth-S MXU select.
     for j in range(group):
-        q = q_ref[j]  # (Sq, 3) current transformed queries
+        # (3, Sq) S-minor block (a (Sq, 3) operand lane-pads 3 -> 128:
+        # 4.3 GB of query HBM at 8M); one small VMEM transpose per tile
+        q = q_ref[j].T  # (Sq, 3) current transformed queries
         qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3]
         qq = jnp.sum(q * q, axis=1, keepdims=True)  # (Sq, 1)
         sq = q.shape[0]
@@ -626,13 +628,15 @@ def block_fold_fused_pre(
              jnp.full((pad_t, sq, 3), PAD_COORD, jnp.float32)]
         )
     g = (tq + pad_t) // group
+    # S-minor query layout (see _fold6_kernel): (Tq', 3, Sq)
+    q_t = jnp.swapaxes(query_tiles, 1, 2)
 
     d, pl_t = pl.pallas_call(
         functools.partial(_fold6_kernel, group=group, k=k),
         grid=(g,),
         in_specs=[
             pl.BlockSpec(
-                (group, sq, 3), lambda i: (i, 0, 0),
+                (group, 3, sq), lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -664,7 +668,7 @@ def block_fold_fused_pre(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(query_tiles, rt_cand, pl_cand)
+    )(q_t, rt_cand, pl_cand)
 
     d = d[:tq].reshape(-1)
     d = jnp.where(d < 1e15, d, jnp.inf)
@@ -704,16 +708,19 @@ def block_fold_fused(
 # entirely in VMEM.
 
 
-def _moments6_kernel(q_ref, qc_ref, r2_ref, rt_ref, m_out, *, group, k):
+def _moments6_kernel(q_ref, r2_ref, rt_ref, m_out, *, group, k):
     r2 = r2_ref[0, 0]  # scalar radius^2
     for j in range(group):
-        cen = qc_ref[j]  # (1, 3) query-tile centroid
-        q = q_ref[j] - cen  # (Sq, 3) centered queries
+        # queries arrive PRE-CENTERED on their tile centroid and
+        # TRANSPOSED (3, Sq): S-minor layouts only — a (Sq, 3) operand
+        # lane-pads 3 -> 128 (4.3 GB at 8M, the mom-vmem HBM OOM), and
+        # the old (group, 1, 3) centroid operand padded both dims.
+        q = q_ref[j].T  # (Sq, 3)
         qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3]
         qq = jnp.sum(q * q, axis=1, keepdims=True)  # (Sq, 1)
         m = jnp.zeros((16, q.shape[0]), jnp.float32)
         for c in range(k):
-            r = rt_ref[j, c] - cen.T  # (3, S) centered candidates
+            r = rt_ref[j, c]  # (3, S) pre-centered candidates
             rx, ry, rz = r[0:1], r[1:2], r[2:3]
             rr = rx * rx + ry * ry + rz * rz  # (1, S)
             d2 = qq + rr - 2.0 * (qx * rx + qy * ry + qz * rz)  # (Sq, S)
@@ -755,10 +762,12 @@ def block_radius_moments_fused6(
 
     # XLA prep = pure gathers of once-materialized tables (the feature
     # expansion lives in VMEM — a (Tq, k, 16, S) HBM expansion OOM'd at
-    # 8M: full-size HLO temps before fusion).
+    # 8M: full-size HLO temps before fusion). Centering happens HERE
+    # (fuses into the gather) so the kernel needs no centroid operand,
+    # and queries ship transposed (3, Sq): S-minor layouts throughout.
     rt3 = jnp.swapaxes(index.tiles, 1, 2)  # (T, 3, S)
-    rt_cand = rt3[cand]  # (Tq, k, 3, S)
-    qc3 = q_cent[:, None, :]  # (Tq, 1, 3)
+    rt_cand = rt3[cand] - q_cent[:, None, :, None]  # (Tq, k, 3, S)
+    query_tiles = query_tiles - q_cent[:, None, :]
     r2 = (radius * radius).reshape(1, 1).astype(jnp.float32)
 
     pad_t = (-tq) % group
@@ -767,24 +776,18 @@ def block_radius_moments_fused6(
             [query_tiles,
              jnp.full((pad_t, sq, 3), PAD_COORD, jnp.float32)]
         )
-        qc3 = jnp.concatenate(
-            [qc3, jnp.zeros((pad_t, 1, 3), jnp.float32)]
-        )
         rt_cand = jnp.concatenate(
             [rt_cand, jnp.full((pad_t, k, 3, s), PAD_COORD, jnp.float32)]
         )
     g = (tq + pad_t) // group
+    q_t = jnp.swapaxes(query_tiles, 1, 2)  # (Tq', 3, Sq)
 
     mT = pl.pallas_call(
         functools.partial(_moments6_kernel, group=group, k=k),
         grid=(g,),
         in_specs=[
             pl.BlockSpec(
-                (group, sq, 3), lambda i: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (group, 1, 3), lambda i: (i, 0, 0),
+                (group, 3, sq), lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -805,7 +808,7 @@ def block_radius_moments_fused6(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(query_tiles, qc3, r2, rt_cand)
+    )(q_t, r2, rt_cand)
 
     n = tq * sq
     m = jnp.swapaxes(mT[:tq], 1, 2).reshape(n, 16)
