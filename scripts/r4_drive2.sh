@@ -47,6 +47,12 @@ step tiles1m_v3 2400 3 python scripts/exp_tiles.py 1048576 \
 step mom8m_v2 3600 3 python scripts/exp_tiles.py 8388608 \
   "{'mom xla': dict(), 'mom vmem': dict(moments_mode='vmem'), 'vmem+mom': dict(payload_mode='vmem', moments_mode='vmem')}"
 
+# 2a-bis. moments6 at 1M on the fixed layout (the padded-query operand
+#         cost ~0.5 GB of HBM traffic at 1M too — the 178-vs-170 loss
+#         may flip)
+step mom1m_v2 2400 3 python scripts/exp_tiles.py 1048576 \
+  "{'mom xla': dict(), 'mom vmem': dict(moments_mode='vmem')}"
+
 # 2b. Pallas segmented sort vs lax.sort at the KD level-sort shapes
 step psort1m 2400 3 python scripts/exp_psort.py 8 1m
 step psort8m 3000 3 python scripts/exp_psort.py 4 8m
