@@ -122,10 +122,19 @@ class ICPConfig:
     # the full-res tail polishes and produces full-resolution
     # diff/rmse/inlier statistics. `diff` is a SUM over points, so the
     # mid phase gates on diff_threshold / stride; rmse-based stops are
-    # scale-invariant. refine_stride: 1 = off, 0 = auto (engages
-    # stride 2 at >= refine_stride_threshold target points).
+    # scale-invariant. refine_stride: 1 = off, 0 = auto — which now
+    # resolves to 1 everywhere: the chip A/B the advisor asked for
+    # (8M, 2026-08-20) measured stride 2 at 1843 ms / 6 iters vs
+    # stride 1 at 1636 ms / 4 iters, identical rmse — the subsampled
+    # mid phase converges SLOWER (noisier solve statistics) and the
+    # extra iterations cost more than the per-iteration saving. The
+    # knob stays for explicit use (a stride-2 iteration IS ~35%
+    # cheaper; workloads with iteration budgets to burn may still
+    # want it).
     refine_stride: int = 0
     refine_full_iters: int = 2
+    # retired auto-gate size (auto now always resolves to stride 1);
+    # kept so existing configs stay constructible
     refine_stride_threshold: int = 2 * 1024 * 1024
     # MEASURED NEGATIVE (chip 2026-08-19, NOTES.md): pre-gathering the
     # frozen candidate tiles into dense (K, Tq, S, ·) arrays so refine
@@ -282,13 +291,13 @@ class ICPConfig:
     def resolve_refine_stride(
         self, src_capacity: int, tgt_capacity: int
     ) -> int:
-        # Auto gates on min(src, tgt): the subsample halves the SOURCE's
-        # solve statistics, so a small source against a huge target keeps
-        # full resolution (per-iteration savings there are modest anyway).
+        # Auto = 1 (off) at every size: the 8M chip A/B (NOTES round-4)
+        # measured auto-stride-2 LOSING end-to-end — the subsampled mid
+        # phase needs more iterations than it saves per iteration.
+        # Explicit strides are honored unchanged.
         if self.refine_stride:
             return self.refine_stride
-        cap = min(src_capacity, tgt_capacity)
-        return 2 if cap >= self.refine_stride_threshold else 1
+        return 1
 
     def resolve_moments(self) -> str:
         # "auto" = "xla" until the round-4 chip A/B flips it.

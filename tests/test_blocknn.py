@@ -460,10 +460,12 @@ def test_register_payload_modes_equivalent(rng):
 
 
 def test_refine_stride_parity_and_history(rng):
-    """refine_stride=2 — the auto default above refine_stride_threshold —
-    agrees with stride 1 on the recovered pose, in the exact auto
-    combination the 8M bench runs (infold payload + Sq=128 query tiles),
-    scaled down to CPU size. Also pins the round-4 history contract: the
+    """Explicit refine_stride=2 agrees with stride 1 on the recovered
+    pose, in the 8M bench combination (infold payload + Sq=128 query
+    tiles) scaled down to CPU size. (Auto no longer engages stride 2
+    anywhere: the 8M chip A/B measured it losing end-to-end — NOTES
+    round-4; the knob remains for explicit use and this test keeps its
+    correctness pinned.) Also pins the round-4 history contract: the
     mid phase's diff/rmse iterations are merged into the returned
     histories (sized config.max_iters), total refine iterations stay
     within max_iters, and a mid-phase stop carries into `converged`."""
