@@ -57,6 +57,13 @@ step mom1m_v2 2400 3 python scripts/exp_tiles.py 1048576 \
 step psort1m 2400 3 python scripts/exp_psort.py 8 1m
 step psort8m 3000 3 python scripts/exp_psort.py 4 8m
 
+# 2c. scatter-speed probe: is a radix sort viable for the Morton phase?
+step scatter1m 2400 3 python scripts/exp_scatter.py 1048576 8
+
+# 2d. stride-1 top end: fresh 8M/10M walls with the new default
+step bench8m_s1 3600 3 python bench.py --n 8388608 --reps 3
+step bench10m_s1 3600 3 python bench.py --n 10485760 --reps 3
+
 # 3. odo-batch: the odometry THROUGHPUT operating point (brute at 8192,
 #    block at 32768/65536)
 step odob8k 2400 3 python bench.py --odometry --odo-batch --reps 3
