@@ -212,6 +212,35 @@ def test_fused_moments_superset_of_jnp(rng):
     assert np.abs(np.asarray(cov_f)[valid][same] - np.asarray(cov_j)[valid][same]).max() < 1e-5
 
 
+def test_moments6_matches_jnp_fold(rng):
+    """Take-6 VMEM moments (per-tile candidates, pre-centered S-minor
+    operands) reproduce the jnp fold's counts/means/covs at the SAME
+    k_tiles — same candidate lists, so exact agreement to fp32 noise,
+    not the union-superset contract of the take-4 kernel."""
+    from icpx.kernels.blocknn import build_kd_index, block_radius_moments
+    from icpx.kernels.blocknn_pallas import block_radius_moments_fused6
+
+    r = rng.uniform(-1, 1, (8000, 3)).astype(np.float32)
+    idx = build_kd_index(r, tile_size=128)
+    radius = jnp.float32(0.15)
+    cnt_6, mean_6, cov_6 = block_radius_moments_fused6(
+        idx.tiles, idx, radius, k_tiles=4, interpret=True
+    )
+    cnt_j, mean_j, cov_j = block_radius_moments(
+        idx.tiles, idx, radius, k_tiles=4
+    )
+    valid = np.asarray(idx.order) >= 0
+    np.testing.assert_array_equal(
+        np.asarray(cnt_6)[valid], np.asarray(cnt_j)[valid]
+    )
+    assert np.abs(
+        np.asarray(mean_6)[valid] - np.asarray(mean_j)[valid]
+    ).max() < 1e-5
+    assert np.abs(
+        np.asarray(cov_6)[valid] - np.asarray(cov_j)[valid]
+    ).max() < 1e-4
+
+
 def test_default_operating_point_recall(rng):
     """Recall at the REGISTRATION defaults (S=128, Sq=64, coarse k=8 /
     refine k=6). The refine phase runs on nearly-aligned clouds, so its
