@@ -64,6 +64,9 @@ step scatter1m 2400 3 python scripts/exp_scatter.py 1048576 8
 step bench8m_s1 3600 3 python bench.py --n 8388608 --reps 3
 step bench10m_s1 3600 3 python bench.py --n 10485760 --reps 3
 
+# 2e. does the batch aggregate keep climbing past 16?
+step batch32 3000 3 python bench.py --batch 32 --reps 3
+
 # 3. odo-batch: the odometry THROUGHPUT operating point (brute at 8192,
 #    block at 32768/65536)
 step odob8k 2400 3 python bench.py --odometry --odo-batch --reps 3
