@@ -68,6 +68,10 @@ def main():
     ap.add_argument("--score-precision", default="auto",
                     choices=["auto", "highest", "high", "bf16"],
                     help="block-NN score einsum precision (see ICPConfig)")
+    ap.add_argument("--nn-method", default="auto",
+                    choices=["auto", "brute", "block"],
+                    help="NN kernel (auto: block above "
+                    "block_auto_threshold target points)")
     ap.add_argument("--stall-timeout", type=float, default=-1.0,
                     help="seconds before a hung device fence raises "
                     "CollectiveStallError (-1 = auto: off on CPU, 600s "
@@ -114,6 +118,7 @@ def main():
         rmse_change_tol=1e-6,
         k_normals=args.k_normals,
         score_precision=args.score_precision,
+        nn_method=args.nn_method,
         tile_q=2048,
         tile_r=8192,
     )
@@ -238,7 +243,7 @@ def bench_batch(args):
         diff_threshold=0.0,
         rmse_change_tol=1e-6,
         k_normals=args.k_normals,
-        nn_method="block",
+        nn_method="block" if args.nn_method == "auto" else args.nn_method,
         score_precision=args.score_precision,
     )
 
@@ -389,6 +394,7 @@ def bench_odometry(args):
         rmse_change_tol=1e-6,
         robust="huber",
         max_corr_dist=2.0,
+        nn_method=args.nn_method,
     )
     # velocity EMA on: this world's smooth ground has the slide mode the
     # knob exists for (NOTES.md measurements)
@@ -477,6 +483,7 @@ def bench_odometry_batch(args, frames, gt):
         robust="huber",
         max_corr_dist=2.0,
         score_precision=args.score_precision,
+        nn_method=args.nn_method,
     )
     block = cfg.resolve_nn(n_pts) == "block"
     srcs, tgts = frames[1:], frames[:-1]

@@ -64,6 +64,11 @@ step scatter1m 2400 3 python scripts/exp_scatter.py 1048576 8
 step bench8m_s1 3600 3 python bench.py --n 8388608 --reps 3
 step bench10m_s1 3600 3 python bench.py --n 10485760 --reps 3
 
+# 2d-bis. 16k scans sit in a brute/block gap (54 fps vs 137 fps at
+#         32k, which crosses block_auto_threshold): does forcing the
+#         block path fix the 16k row?
+step odo16k_block 2400 3 python bench.py --odometry --scan-points 16384 --reps 3 --nn-method block
+
 # 2e. does the batch aggregate keep climbing past 16?
 step batch32 3000 3 python bench.py --batch 32 --reps 3
 
