@@ -181,7 +181,11 @@ class ICPConfig:
     # VMEM; f32-roundoff-identical moments). "auto" resolves per backend
     # after the round-4 chip A/B.
     moments_mode: str = "auto"
-    block_auto_threshold: int = 32768
+    # Chip A/B 2026-08-20 (compiled odometry, 16384-pt scans): block
+    # 88 ms / 228 fps vs brute 370 ms / 54 fps — the O(N^2) brute score
+    # loses well below the old 32768 cutoff. 16384 is the measured
+    # flip; an 8192 probe is queued (scripts/r4_drive3.sh).
+    block_auto_threshold: int = 16384
     # Tile partitioner: "kd" (median-cut, compact boxes — measured 0.01%
     # NN miss at the defaults vs ~5% for Morton ranges on uniform volumes)
     # or "morton" (cheaper build).
@@ -280,13 +284,20 @@ class ICPConfig:
         return self.block_q_tile
 
     def resolve_payload(self, tgt_capacity: int) -> str:
+        # Auto above the large-cloud threshold: the take-6 VMEM fold
+        # (chip A/B 2026-08-20, NOTES round-4: 8M full pipeline 1516.7
+        # ms vmem vs 1634.9 infold vs 1585.9 select). CPU keeps the XLA
+        # infold (the Pallas kernel would run in interpret mode). At
+        # 1M the kernels are a wash (167.6 vmem / 165.7-170.2 gather
+        # across runs) — below the threshold the coherent row gather
+        # stays the measured default.
         if self.payload_mode != "auto":
             return self.payload_mode
-        return (
-            "infold"
-            if tgt_capacity >= self.payload_infold_threshold
-            else "gather"
-        )
+        if tgt_capacity >= self.payload_infold_threshold:
+            import jax
+
+            return "vmem" if jax.default_backend() == "tpu" else "infold"
+        return "gather"
 
     def resolve_refine_stride(
         self, src_capacity: int, tgt_capacity: int
@@ -299,10 +310,21 @@ class ICPConfig:
             return self.refine_stride
         return 1
 
-    def resolve_moments(self) -> str:
-        # "auto" = "xla" until the round-4 chip A/B flips it.
+    def resolve_moments(self, capacity: int = 0) -> str:
+        # Auto = the take-6 VMEM moments kernel on TPU for large clouds
+        # (chip A/B 2026-08-20: 8M full pipeline 1584.9 ms vs 1630.6
+        # xla; stacked with the vmem fold: 1473.5). At 1M the delta is
+        # inside session noise (167.8 vs 170.4), so the threshold
+        # matches the payload one; CPU always folds in XLA.
         if self.moments_mode != "auto":
             return self.moments_mode
+        import jax
+
+        if (
+            jax.default_backend() == "tpu"
+            and capacity >= self.payload_infold_threshold
+        ):
+            return "vmem"
         return "xla"
 
     def resolve_payload_prec(self) -> str:
@@ -666,7 +688,7 @@ def _register_jit(
             # symmetric solve SYSTEMATICALLY, unlike NN near-tie swaps.
             src_n_s = _index_normals(
                 s_idx, config.k_normals, k_tiles=2,
-                mode=config.resolve_moments(),
+                mode=config.resolve_moments(src.capacity),
             )
         else:
             src_n_s = jnp.where(valid[:, None], src_n[safe], 0.0)
@@ -681,7 +703,7 @@ def _register_jit(
         if "tgt" in normals_for:
             tgt_n_sorted = _index_normals(
                 tgt_index, config.k_normals, k_tiles=2,
-                mode=config.resolve_moments(),
+                mode=config.resolve_moments(tgt.capacity),
             )
         else:
             from icpx.kernels.blocknn import tile_payload

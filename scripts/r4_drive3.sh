@@ -48,4 +48,9 @@ step rb_odo8k 2400 3 python bench.py --odometry --reps 3
 # 3. block-vs-brute at LiDAR scan sizes (16k block = 228 fps vs 54
 #    brute; does 8k flip too? decides block_auto_threshold)
 step odo8k_block 2400 3 python bench.py --odometry --nn-method block --reps 3
+
+# 4. odo-batch with the annealed two-phase schedule (identity-init
+#    divergence fix; drive2 rows gated out at ATE 0.76-1.32)
+step odob8k_v2 2400 3 python bench.py --odometry --odo-batch --reps 3
+step odob32k_v2 3000 3 python bench.py --odometry --odo-batch --scan-points 32768 --reps 3
 echo "== drive3 pass complete $(date -u +%H:%M:%S)" >>"$LOG"
