@@ -20,6 +20,20 @@ import numpy as np
 
 NORTH_STAR_PER_CHIP = 100e6 / 16.0
 
+# Session salt: the axon relay memoizes identical (executable, args)
+# executions ACROSS processes — round 4 caught a flagship rep set
+# reproducing a prior session's wall to 0.1 ms because neither the 1M
+# program nor the per-rep eps had changed since that session. Folding a
+# per-invocation salt into every perturbation makes each rep's argument
+# values globally fresh while staying a <=1e-4-scale coordinate nudge
+# (far below noise=0.01 scene noise; convergence/quality unaffected).
+_SALT = (time.time_ns() % 1_000_000) * 1e-10
+
+
+def rep_eps(rep: int) -> float:
+    """Per-repetition input perturbation, unique across sessions."""
+    return (rep + 1) * 1e-7 + _SALT
+
 
 def _stall_timeouts(args):
     """(warmup, steady-state) watchdog timeouts from --stall-timeout."""
@@ -166,7 +180,7 @@ def main():
         profile_cm.__enter__()
     times = []
     for rep in range(args.reps):
-        eps = jnp.float32((rep + 1) * 1e-7)
+        eps = jnp.float32(rep_eps(rep))
         t0 = time.perf_counter()
         out = run_j(*args_in, eps)
         guarded_call(lambda o=out: jax.block_until_ready(o), step_t)
@@ -258,7 +272,7 @@ def bench_batch(args):
     times = []
     for rep in range(args.reps):
         t0 = time.perf_counter()
-        out = run_j(sx, jnp.float32((rep + 1) * 1e-7))
+        out = run_j(sx, jnp.float32(rep_eps(rep)))
         guarded_call(lambda o=out: jax.block_until_ready(o), step_t)
         times.append(time.perf_counter() - t0)
     wall = statistics.median(times)
@@ -322,7 +336,7 @@ def bench_cat(args):
     times = []
     for rep in range(args.reps):
         # perturb per rep: defeats relay execution memoization
-        src_r = src.replace(xyz=src.xyz + jnp.float32((rep + 1) * 1e-6))
+        src_r = src.replace(xyz=src.xyz + jnp.float32(rep_eps(rep) * 10.0))
         t0 = time.perf_counter()
         res = register(src_r, tgt, cfg)
         guarded_call(lambda r=res: jax.block_until_ready(r), step_t)
@@ -408,7 +422,7 @@ def bench_odometry(args):
     for rep in range(args.reps):
         t0 = time.perf_counter()
         out = run_odometry_compiled(
-            fx + jnp.float32((rep + 1) * 1e-6), fm, fn, cfg, **kwargs
+            fx + jnp.float32(rep_eps(rep) * 10.0), fm, fn, cfg, **kwargs
         )
         guarded_call(lambda o=out: jax.block_until_ready(o), step_t)
         times.append(time.perf_counter() - t0)
@@ -541,7 +555,7 @@ def bench_odometry_batch(args, frames, gt):
     times = []
     for rep in range(args.reps):
         t0 = time.perf_counter()
-        out = run_j(sx, jnp.float32((rep + 1) * 1e-7))
+        out = run_j(sx, jnp.float32(rep_eps(rep)))
         guarded_call(lambda o=out: jax.block_until_ready(o), step_t)
         times.append(time.perf_counter() - t0)
     wall = statistics.median(times)

@@ -181,11 +181,14 @@ class ICPConfig:
     # VMEM; f32-roundoff-identical moments). "auto" resolves per backend
     # after the round-4 chip A/B.
     moments_mode: str = "auto"
-    # Chip A/B 2026-08-20 (compiled odometry, 16384-pt scans): block
-    # 88 ms / 228 fps vs brute 370 ms / 54 fps — the O(N^2) brute score
-    # loses well below the old 32768 cutoff. 16384 is the measured
-    # flip; an 8192 probe is queued (scripts/r4_drive3.sh).
-    block_auto_threshold: int = 16384
+    # Chip A/B 2026-08-20 (compiled odometry): block beats the O(N^2)
+    # brute score at every LiDAR scan size measured — 16384-pt scans
+    # 88 ms / 228 fps vs 370 ms / 54 fps, and 8192-pt scans 62 ms /
+    # 321 fps vs 152 ms / 131 fps (per-step in-jit KD builds included).
+    # The old 32768 cutoff was set before the q-form/fan-4 build cuts
+    # made small builds cheap. Below 8192 the brute fused Pallas pass
+    # keeps the edge (cat-scale clouds have too few tiles to rank).
+    block_auto_threshold: int = 8192
     # Tile partitioner: "kd" (median-cut, compact boxes — measured 0.01%
     # NN miss at the defaults vs ~5% for Morton ranges on uniform volumes)
     # or "morton" (cheaper build).
