@@ -56,10 +56,16 @@ def _add_icp_flags(p: argparse.ArgumentParser) -> None:
                         "measured at 1M/8M), highest on CPU. Force "
                         "'highest' for coordinate-extreme inputs")
     p.add_argument("--payload-mode", default="auto",
-                   choices=["auto", "gather", "infold"],
+                   choices=["auto", "gather", "infold", "select", "vmem"],
                    help="how matched target rows reach the solve: coherent "
-                        "row gather (fastest <=1M pts) or in-fold MXU "
-                        "selection (table-size-independent; auto >=2M)")
+                        "row gather (fastest <=1M pts), in-fold MXU "
+                        "selection, fused payload select, or the take-6 "
+                        "whole-fold VMEM kernel (auto: vmem >=2M on TPU, "
+                        "measured 8M winner)")
+    p.add_argument("--moments-mode", default="auto",
+                   choices=["auto", "xla", "vmem"],
+                   help="in-jit normals moment fold: XLA or the take-6 "
+                        "VMEM kernel (auto: vmem >=2M on TPU)")
     p.add_argument("--fused", default="auto", choices=["auto", "on", "off"],
                    help="fused Pallas NN fold (small recall edge; XLA fold "
                         "is the measured speed default)")
@@ -94,6 +100,7 @@ def _icp_config(args):
         nn_method=args.nn,
         score_precision=getattr(args, "score_precision", "auto"),
         payload_mode=getattr(args, "payload_mode", "auto"),
+        moments_mode=getattr(args, "moments_mode", "auto"),
         block_fused=getattr(args, "fused", "auto"),
         feat_nn=getattr(args, "feat_nn", None) or "",
         feat_nn_weight=_resolve_feat_weight(args),
