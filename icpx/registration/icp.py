@@ -167,6 +167,12 @@ class ICPConfig:
     # infold at >= payload_infold_threshold target points.
     payload_mode: str = "auto"
     payload_infold_threshold: int = 2 * 1024 * 1024
+    # Size from which auto payload/moments resolve to the take-6 VMEM
+    # kernels on TPU. Separate from payload_infold_threshold (which
+    # also gates the Sq=128 large-query tiles — Sq=128 LOSES at 1M):
+    # the stacked vmem+mom A/B won at 1M (164.1 vs 168.7-170.9 ms,
+    # repeated) with Sq=64 kept.
+    vmem_threshold: int = 1024 * 1024
     # Precision of the infold one-hot payload-selection matmul: "high"
     # (3-pass, default) or "bf16" (1 native MXU pass; matched coords are
     # query-tile-centered before selection so quantization is
@@ -296,10 +302,15 @@ class ICPConfig:
         # stays the measured default.
         if self.payload_mode != "auto":
             return self.payload_mode
-        if tgt_capacity >= self.payload_infold_threshold:
-            import jax
+        import jax
 
-            return "vmem" if jax.default_backend() == "tpu" else "infold"
+        if (
+            jax.default_backend() == "tpu"
+            and tgt_capacity >= self.vmem_threshold
+        ):
+            return "vmem"
+        if tgt_capacity >= self.payload_infold_threshold:
+            return "infold"
         return "gather"
 
     def resolve_refine_stride(
@@ -325,7 +336,7 @@ class ICPConfig:
 
         if (
             jax.default_backend() == "tpu"
-            and capacity >= self.payload_infold_threshold
+            and capacity >= self.vmem_threshold
         ):
             return "vmem"
         return "xla"

@@ -48,8 +48,8 @@ xyz = synthetic_surface(65536, seed=7)
 src = PointCloud.create(xyz)
 gt = make_rigid_perturbation(angle=0.2, translation=(0.1, -0.05, 0.02))
 tgt = PointCloud.create(np.asarray(gt.apply(src.xyz)))
-save_cloud(\"/tmp/_d_src.pcd\", src, mode=\"binary\")
-save_cloud(\"/tmp/_d_tgt.pcd\", tgt, mode=\"binary\")
+save_cloud(\"/tmp/_d_src.pcd\", src, binary=True)
+save_cloud(\"/tmp/_d_tgt.pcd\", tgt, binary=True)
 "
 icpx register /tmp/_d_src.pcd /tmp/_d_tgt.pcd --out /tmp/_d_aligned.pcd --robust huber
 icpx info /tmp/_d_aligned.pcd
