@@ -25,9 +25,11 @@ NORTH_STAR_PER_CHIP = 100e6 / 16.0
 # reproducing a prior session's wall to 0.1 ms because neither the 1M
 # program nor the per-rep eps had changed since that session. Folding a
 # per-invocation salt into every perturbation makes each rep's argument
-# values globally fresh while staying a <=1e-4-scale coordinate nudge
-# (far below noise=0.01 scene noise; convergence/quality unaffected).
-_SALT = (time.time_ns() % 1_000_000) * 1e-10
+# values globally fresh (any differing f32 bit defeats the cache) while
+# staying a <=1e-6-scale coordinate nudge — the cat parity config
+# multiplies eps by 10 and reports ~1e-5-scale transform errors, so the
+# salt must sit well below that floor (review r4).
+_SALT = (time.time_ns() % 1_000_000) * 1e-12
 
 
 def rep_eps(rep: int) -> float:

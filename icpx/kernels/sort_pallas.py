@@ -109,7 +109,7 @@ def _sort_kernel(*refs, m: int, n_payloads: int):
     jax.jit, static_argnames=("seg_len", "interpret")
 )
 def sort_segments(
-    key: jax.Array,  # (c, m) float32 — m a power of two, multiple of 1024
+    key: jax.Array,  # (c, m) float32 — m a power of two >= 256
     payloads: Tuple[jax.Array, ...],  # each (c, m)
     *,
     seg_len: int | None = None,

@@ -412,10 +412,18 @@ def run_odometry(
         corr_t = guarded_call(
             lambda c=correction: float(jnp.linalg.norm(c.t)), stall_t
         )
-        corr_r = float(correction.rotation_angle())
-        finite = np.isfinite(corr_t) and np.isfinite(
-            np.asarray(rel.t)
-        ).all()
+        # the remaining per-frame fetches ride the same watchdog: the
+        # tunnel's documented stall mode can hit ANY device round trip,
+        # not just the first (review r4)
+        corr_r, rel_t_np, res_rmse = guarded_call(
+            lambda: (
+                float(correction.rotation_angle()),
+                np.asarray(rel.t),
+                float(res.final_rmse),
+            ),
+            stall_t,
+        )
+        finite = np.isfinite(corr_t) and np.isfinite(rel_t_np).all()
         gate_on = (
             config.max_correction_trans > 0
             and model_warm
@@ -434,7 +442,7 @@ def run_odometry(
             rmses.append(float("inf"))
             consecutive_rejects += 1
         else:
-            rmses.append(float(res.final_rmse))
+            rmses.append(res_rmse)
             consecutive_rejects = 0
             model_warm = True
         poses.append(pose)

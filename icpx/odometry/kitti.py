@@ -217,7 +217,12 @@ def simulate_scans(
             )
             # beam rows span KITTI HDL-64's ~[-25, +3] deg window
             el_lo, el_hi = np.radians(-25.0), np.radians(3.0)
-            row = ((el - el_lo) / (el_hi - el_lo) * n_beams).astype(np.int64)
+            # floor before the cast: int64 truncation maps (-1, 0) to 0,
+            # which would pull below-FOV returns into beam row 0 and let
+            # them occlude genuine row-0 geometry (review r4)
+            row = np.floor(
+                (el - el_lo) / (el_hi - el_lo) * n_beams
+            ).astype(np.int64)
             in_fov = (row >= 0) & (row < n_beams)
             cell = row * azimuth_bins + col
             # nearest return per cell: sort by (cell, r), keep first

@@ -739,6 +739,17 @@ def _register_jit(
         # (263 ms/iter at 8M); in-fold one-hot MXU selection is
         # table-size-independent (chip A/B 2026-08-19, NOTES.md).
         pmode = config.resolve_payload(tgt.capacity)
+        if pmode == "vmem" and (use_feat or fused):
+            # the take-6 kernel scores 3D coordinates only; feature-
+            # augmented (4D-metric) and fused-fold registrations keep
+            # the table-size-independent infold path at large sizes
+            # instead of silently degrading to the super-linear row
+            # gather (review r4)
+            pmode = (
+                "infold"
+                if tgt.capacity >= config.payload_infold_threshold
+                else "gather"
+            )
         infold = not fused and pmode == "infold"
         # "select" (take 5, round 4): XLA fold produces (d2, pos) at its
         # measured roofline; a Pallas kernel turns pos into payload rows
