@@ -58,14 +58,14 @@ def _add_icp_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--payload-mode", default="auto",
                    choices=["auto", "gather", "infold", "select", "vmem"],
                    help="how matched target rows reach the solve: coherent "
-                        "row gather (fastest <=1M pts), in-fold MXU "
+                        "row gather (fastest below 1M pts), in-fold MXU "
                         "selection, fused payload select, or the take-6 "
-                        "whole-fold VMEM kernel (auto: vmem >=2M on TPU, "
-                        "measured 8M winner)")
+                        "whole-fold VMEM kernel (auto: vmem from 1M up on "
+                        "TPU, measured 1M+8M winner)")
     p.add_argument("--moments-mode", default="auto",
                    choices=["auto", "xla", "vmem"],
                    help="in-jit normals moment fold: XLA or the take-6 "
-                        "VMEM kernel (auto: vmem >=2M on TPU)")
+                        "VMEM kernel (auto: vmem from 1M up on TPU)")
     p.add_argument("--fused", default="auto", choices=["auto", "on", "off"],
                    help="fused Pallas NN fold (small recall edge; XLA fold "
                         "is the measured speed default)")
