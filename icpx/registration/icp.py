@@ -217,6 +217,11 @@ class ICPConfig:
     # for its small recall edge, see that module's docstring).
     block_fused: str = "auto"
     block_group: int = 4
+    # Query tiles per program for the take-6 VMEM fold/moments kernels.
+    # 8 was the pre-S-minor-layout ceiling (the old payload blocks
+    # wasted 16x VMEM); the transposed layouts admit 16 — A/B'd on chip
+    # before changing the default.
+    vmem_group: int = 8
     block_u_max: int = 32
     tile_q: int = 2048
     tile_r: int = 4096
@@ -566,7 +571,7 @@ def gicp_cov_rot(T, aux):
     return jnp.einsum("ij,njk,lk->nil", T.R, C, T.R).reshape(-1, 9)
 
 
-def _index_normals(index, k_normals, k_tiles=4, prec="highest", mode="xla"):
+def _index_normals(index, k_normals, k_tiles=4, prec="highest", mode="xla", group=8):
     """PCA normals for an index's own tiles (self-query radius moments):
     (normals, valid_count) in SORTED tile order. The shared-index fast
     path — one KD build serves NN search and normal estimation
@@ -588,8 +593,9 @@ def _index_normals(index, k_normals, k_tiles=4, prec="highest", mode="xla"):
     if mode == "vmem":
         from icpx.kernels.blocknn_pallas import block_radius_moments_fused6
 
+        vg = group if index.n_tiles % group == 0 else 8
         cnt, _, cov = block_radius_moments_fused6(
-            index.tiles, index, radius, k_tiles=k_tiles
+            index.tiles, index, radius, k_tiles=k_tiles, group=vg
         )
     else:
         cnt, _, cov = block_radius_moments(
@@ -703,6 +709,7 @@ def _register_jit(
             src_n_s = _index_normals(
                 s_idx, config.k_normals, k_tiles=2,
                 mode=config.resolve_moments(src.capacity),
+                group=config.vmem_group,
             )
         else:
             src_n_s = jnp.where(valid[:, None], src_n[safe], 0.0)
@@ -718,6 +725,7 @@ def _register_jit(
             tgt_n_sorted = _index_normals(
                 tgt_index, config.k_normals, k_tiles=2,
                 mode=config.resolve_moments(tgt.capacity),
+                group=config.vmem_group,
             )
         else:
             from icpx.kernels.blocknn import tile_payload
@@ -781,14 +789,19 @@ def _register_jit(
                 # 1.6 GB-at-8M candidate gathers happen once — XLA's
                 # loop LICM does not reliably hoist them (measured: a
                 # 25.8 GB remat allocation attempt inside the loop).
+                vg = (
+                    config.vmem_group
+                    if n_tiles % config.vmem_group == 0
+                    else 8
+                )
                 rt_c, pl_c, dpl = fold6_prepare(
-                    cand, tgt_index, tgt_pl_tiles
+                    cand, tgt_index, tgt_pl_tiles, group=vg
                 )
 
                 def nn_fn_vmem(p):
                     d2, pl = block_fold_fused_pre(
                         p.reshape(n_tiles, tile_rows, 3),
-                        rt_c, pl_c, dpl,
+                        rt_c, pl_c, dpl, group=vg,
                     )
                     return pl[:, :3], pl[:, 3:], jnp.sqrt(d2)
 
