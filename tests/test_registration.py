@@ -114,6 +114,53 @@ def test_identity_pair_converges_immediately():
     assert float(rot_err) < 1e-4 and float(t_err) < 1e-4
 
 
+def test_bunny_line_fixture_rank_deficient_registration():
+    """The second reference fixture (BASELINE.json config "bunny
+    pairs"): the 93-pt cloud from za.txt via the txt->pcd converter
+    (`/root/reference/ICP/test.cpp` analogue) is in fact a 1-D LINE
+    scan — extent (0.358, 0.0034, 0.0023) — so a full 6-DoF pose is
+    UNOBSERVABLE from it (rotation about + translation along the line
+    are null directions, so ANY element of that 2-parameter group
+    composed with the true transform fits the data equally well —
+    comparing the result to one particular gt is meaningless;
+    measured: the recovered pose sits ~2 units away in SE3 while every
+    point residual is small). The meaningful contract, pinned here:
+    registration on this rank-deficient real fixture stays finite and
+    converges in the OBSERVABLE subspace — the registered points land
+    back on the line, with final rmse well under the 0.36-unit
+    extent."""
+    from pathlib import Path
+
+    from icpx.io import load_cloud
+
+    bunny = load_cloud(
+        Path(__file__).parent / "data" / "txt2pcd_bunny1.pcd"
+    )
+    assert int(bunny.num_valid()) == 93
+    gt = make_rigid_perturbation(
+        angle=0.1, translation=(0.02, -0.01, 0.01)
+    )
+    rng = np.random.default_rng(5)
+    valid_np = bunny.to_numpy()  # transform VALID rows only: applying
+    # gt to padded sentinel rows would mint 1e8-scale "points"
+    tgt_np = np.asarray(gt.apply(jnp.asarray(valid_np)))
+    tgt = PointCloud.create(tgt_np[rng.permutation(len(tgt_np))])
+    cfg = ICPConfig(
+        objective="p2p",  # normals on a line are themselves degenerate
+        max_iters=40,
+        diff_threshold=0.0,
+        rmse_change_tol=1e-10,
+        degeneracy_clamp=0.01,
+    )
+    res = register(bunny, tgt, cfg)
+    R = np.asarray(res.transform.R)
+    t = np.asarray(res.transform.t)
+    assert np.isfinite(R).all() and np.isfinite(t).all()
+    # observable component: registered source lies back on the target
+    # line (residual well under the line's own extent)
+    assert float(res.final_rmse) < 0.036  # < 10% of the 0.36 extent
+
+
 @needs_ref
 def test_cat_pair_shuffled_recovers_gt():
     """The headline golden test: cat.pcd -> cat_out.pcd with SHUFFLED rows
