@@ -32,9 +32,16 @@ NORTH_STAR_PER_CHIP = 100e6 / 16.0
 _SALT = (time.time_ns() % 1_000_000) * 1e-12
 
 
-def rep_eps(rep: int) -> float:
-    """Per-repetition input perturbation, unique across sessions."""
-    return (rep + 1) * 1e-7 + _SALT
+def rep_eps(rep: int, scale: float = 1.0) -> float:
+    """Per-repetition input perturbation, unique across sessions.
+
+    `scale` multiplies only the deterministic per-rep step (configs whose
+    converged floor tolerates a larger nudge pass scale=10); the session
+    salt is added AFTER scaling so its magnitude stays <=1e-6 in every
+    config (review r4: scaling the salt to 1e-5 would reach the cat
+    config's ~1e-5 error floor).
+    """
+    return (rep + 1) * 1e-7 * scale + _SALT
 
 
 def _stall_timeouts(args):
@@ -338,7 +345,7 @@ def bench_cat(args):
     times = []
     for rep in range(args.reps):
         # perturb per rep: defeats relay execution memoization
-        src_r = src.replace(xyz=src.xyz + jnp.float32(rep_eps(rep) * 10.0))
+        src_r = src.replace(xyz=src.xyz + jnp.float32(rep_eps(rep, scale=10.0)))
         t0 = time.perf_counter()
         res = register(src_r, tgt, cfg)
         guarded_call(lambda r=res: jax.block_until_ready(r), step_t)
@@ -424,7 +431,7 @@ def bench_odometry(args):
     for rep in range(args.reps):
         t0 = time.perf_counter()
         out = run_odometry_compiled(
-            fx + jnp.float32(rep_eps(rep) * 10.0), fm, fn, cfg, **kwargs
+            fx + jnp.float32(rep_eps(rep, scale=10.0)), fm, fn, cfg, **kwargs
         )
         guarded_call(lambda o=out: jax.block_until_ready(o), step_t)
         times.append(time.perf_counter() - t0)

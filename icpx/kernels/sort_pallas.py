@@ -122,10 +122,13 @@ def sort_segments(
     c, m = key.shape
     if seg_len is None:
         seg_len = m
-    assert seg_len == m and m % 256 == 0 and (m & (m - 1)) == 0, (
-        "segment length must be a power of two >= 256",
-        m,
-    )
+    # Explicit raise (not assert): under `python -O` a stripped assert
+    # would let a bad shape through to the bitonic network, which returns
+    # silently WRONG sort output for non-power-of-two segments.
+    if not (seg_len == m and m % 256 == 0 and (m & (m - 1)) == 0):
+        raise ValueError(
+            f"segment length must be a power of two >= 256, got {m}"
+        )
     interpret = interpret or jax.default_backend() != "tpu"
     r = m // 128
     n_pay = len(payloads)

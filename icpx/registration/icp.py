@@ -593,9 +593,10 @@ def _index_normals(index, k_normals, k_tiles=4, prec="highest", mode="xla", grou
     if mode == "vmem":
         from icpx.kernels.blocknn_pallas import block_radius_moments_fused6
 
-        vg = group if index.n_tiles % group == 0 else 8
+        # the kernel group-pads internally (pad_t = (-tq) % group), so
+        # non-divisible tile counts need no fallback here (advice r4)
         cnt, _, cov = block_radius_moments_fused6(
-            index.tiles, index, radius, k_tiles=k_tiles, group=vg
+            index.tiles, index, radius, k_tiles=k_tiles, group=group
         )
     else:
         cnt, _, cov = block_radius_moments(
@@ -607,6 +608,33 @@ def _index_normals(index, k_normals, k_tiles=4, prec="highest", mode="xla", grou
     normal = jnp.where(flip[:, None], -normal, normal)
     ok = (cnt >= 3.0) & valid
     return jnp.where(ok[:, None], normal, 0.0)
+
+
+def _effective_payload_mode(
+    config: "ICPConfig",
+    tgt_capacity: int,
+    *,
+    use_feat: bool,
+    fused: bool,
+    will_freeze: bool,
+) -> str:
+    """The payload-delivery mode a block registration will ACTUALLY run.
+
+    The take-6 vmem kernel scores 3D coordinates only and needs a frozen
+    candidate list; feature-augmented (4D-metric), fused-fold, and
+    no-frozen-candidate registrations resolve to the table-size-
+    independent infold path at large sizes instead of silently degrading
+    to the super-linear row gather (review r4 twice: the feat/fused
+    carve-out, then the missing no-candidates one — the gather path was
+    measured at 263 ms/iter at 8M)."""
+    pmode = config.resolve_payload(tgt_capacity)
+    if pmode == "vmem" and (use_feat or fused or not will_freeze):
+        pmode = (
+            "infold"
+            if tgt_capacity >= config.payload_infold_threshold
+            else "gather"
+        )
+    return pmode
 
 
 @partial(jax.jit, static_argnames=("config", "normals_for"))
@@ -746,18 +774,25 @@ def _register_jit(
         # (28 vs 32.5 ms/iter) but scales super-linearly with table size
         # (263 ms/iter at 8M); in-fold one-hot MXU selection is
         # table-size-independent (chip A/B 2026-08-19, NOTES.md).
-        pmode = config.resolve_payload(tgt.capacity)
-        if pmode == "vmem" and (use_feat or fused):
-            # the take-6 kernel scores 3D coordinates only; feature-
-            # augmented (4D-metric) and fused-fold registrations keep
-            # the table-size-independent infold path at large sizes
-            # instead of silently degrading to the super-linear row
-            # gather (review r4)
-            pmode = (
-                "infold"
-                if tgt.capacity >= config.payload_infold_threshold
-                else "gather"
-            )
+        # Will the refine phases have a FROZEN candidate list? The take-6
+        # vmem fold only engages with one (its per-tile candidate prep is
+        # loop-invariant); without it, pmode="vmem" used to fall through
+        # past the vmem branch to the super-linear row gather with no
+        # warning (the path measured at 263 ms/iter at 8M — review r4).
+        coarse = (
+            config.coarse_iters > 0
+            and config.coarse_stride > 1
+            and tq % 4 == 0
+            and tq >= 8
+            and (4 * sq) % config.coarse_stride == 0
+        )
+        will_freeze = (
+            coarse and not fused and config.freeze_refine_candidates
+        )
+        pmode = _effective_payload_mode(
+            config, tgt.capacity,
+            use_feat=use_feat, fused=fused, will_freeze=will_freeze,
+        )
         infold = not fused and pmode == "infold"
         # "select" (take 5, round 4): XLA fold produces (d2, pos) at its
         # measured roofline; a Pallas kernel turns pos into payload rows
@@ -789,11 +824,10 @@ def _register_jit(
                 # 1.6 GB-at-8M candidate gathers happen once — XLA's
                 # loop LICM does not reliably hoist them (measured: a
                 # 25.8 GB remat allocation attempt inside the loop).
-                vg = (
-                    config.vmem_group
-                    if n_tiles % config.vmem_group == 0
-                    else 8
-                )
+                # fold6_prepare/block_fold_fused_pre group-pad internally
+                # (pad_t = (-tq) % group) — no divisibility fallback
+                # needed (advice r4)
+                vg = config.vmem_group
                 rt_c, pl_c, dpl = fold6_prepare(
                     cand, tgt_index, tgt_pl_tiles, group=vg
                 )
@@ -871,13 +905,7 @@ def _register_jit(
         # ~1/stride subsample reusing full-res normals; NN cost drops
         # ~4x while the motion is still large (NOTES round-1 lever 3).
         stride = config.coarse_stride
-        coarse = (
-            config.coarse_iters > 0
-            and stride > 1
-            and tq % 4 == 0
-            and tq >= 8
-            and (4 * sq) % stride == 0
-        )
+        # `coarse` was decided above (it feeds the payload-mode carve-out)
         if coarse:
             cs = 4 * sq // stride
             xyz_c = src_xyz.reshape(tq // 4, 4 * sq, 3)[:, ::stride]
@@ -925,7 +953,7 @@ def _register_jit(
         # iteration. Only safe when a coarse phase ran (refine starts
         # near-aligned); the fused kernel selects internally.
         cand_ref = None
-        if coarse and not fused and config.freeze_refine_candidates:
+        if will_freeze:
             from icpx.kernels.blocknn import _candidate_tiles
 
             p0 = init.apply(src_xyz).reshape(tq, sq, 3)

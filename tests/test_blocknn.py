@@ -488,6 +488,76 @@ def test_register_payload_modes_equivalent(rng):
         )
 
 
+def test_vmem_without_frozen_candidates_never_gathers(rng):
+    """pmode="vmem" with no frozen candidate list (coarse disabled)
+    resolves to infold above payload_infold_threshold — NOT the silent
+    super-linear row-gather fallthrough (VERDICT r4 weak #3) — and the
+    registration matches the gather path's pose."""
+    from icpx.registration.icp import (
+        _effective_payload_mode,
+        _register_jit,
+    )
+
+    # resolution contract, every branch:
+    cfg = ICPConfig(payload_mode="vmem", payload_infold_threshold=4096)
+    kw = dict(use_feat=False, fused=False)
+    assert (
+        _effective_payload_mode(cfg, 16384, will_freeze=False, **kw)
+        == "infold"
+    )
+    assert (
+        _effective_payload_mode(cfg, 2048, will_freeze=False, **kw)
+        == "gather"
+    )
+    assert (
+        _effective_payload_mode(cfg, 16384, will_freeze=True, **kw)
+        == "vmem"
+    )
+    assert (
+        _effective_payload_mode(
+            cfg, 16384, use_feat=True, fused=False, will_freeze=True
+        )
+        == "infold"
+    )
+
+    # behavioral parity: coarse_iters=0 + payload_mode="vmem" registers
+    # (on the resolved infold path) to the same pose as explicit gather
+    from icpx.geometry.transforms import make_rigid_perturbation
+
+    n = 16384
+    xyz = synthetic_surface(n, seed=7)
+    src = PointCloud.create(xyz, capacity=n)
+    gt = make_rigid_perturbation(angle=0.1, translation=(0.08, -0.04, 0.02))
+    tgt_np = np.asarray(gt.apply(src.xyz))[:n]
+    perm = rng.permutation(n)
+    tgt = PointCloud.create(tgt_np[perm], capacity=n).replace(
+        mask=src.mask[perm]
+    )
+    results = {}
+    for mode in ("vmem", "gather"):
+        cfg = ICPConfig(
+            max_iters=8, diff_threshold=0.0, rmse_change_tol=1e-6,
+            nn_method="block", payload_mode=mode, coarse_iters=0,
+            payload_infold_threshold=4096,
+        )
+        res = _register_jit(
+            src, tgt, SE3.identity(), cfg, normals_for=("src", "tgt")
+        )
+        rot_err, t_err = res.transform.distance_to(gt)
+        assert float(rot_err) < 5e-3 and float(t_err) < 5e-3, mode
+        results[mode] = res
+    np.testing.assert_allclose(
+        np.asarray(results["vmem"].transform.R),
+        np.asarray(results["gather"].transform.R),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(results["vmem"].transform.t),
+        np.asarray(results["gather"].transform.t),
+        atol=1e-4,
+    )
+
+
 def test_refine_stride_parity_and_history(rng):
     """Explicit refine_stride=2 agrees with stride 1 on the recovered
     pose, in the 8M bench combination (infold payload + Sq=128 query
