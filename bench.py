@@ -93,6 +93,12 @@ def main():
                     help="with --odo-batch: extra phase-1 iterations for "
                     "robust-scale annealing (-1 = auto: 10 for identity "
                     "init, 2 for the global seed)")
+    ap.add_argument("--odo-q-tile", type=int, default=0,
+                    help="with --odometry: override block_q_tile for the "
+                    "compiled loop's source tiling (0 = config default)")
+    ap.add_argument("--odo-freeze", default="on", choices=["on", "off"],
+                    help="with --odometry: freeze per-frame candidate "
+                    "tiles at the warm init (round-5 default on)")
     ap.add_argument("--frames", type=int, default=20)
     ap.add_argument("--scan-points", type=int, default=8192,
                     help="points per scan for --odometry")
@@ -420,6 +426,9 @@ def bench_odometry(args):
     fx = jnp.stack([f.xyz for f in frames])
     fm = jnp.stack([f.mask for f in frames])
     fn = jnp.stack([f.normals for f in frames])
+    cfg_kw = {}
+    if args.odo_q_tile:
+        cfg_kw["block_q_tile"] = args.odo_q_tile
     cfg = ICPConfig(
         objective=args.objective,
         max_iters=args.iters,
@@ -428,10 +437,14 @@ def bench_odometry(args):
         robust="huber",
         max_corr_dist=2.0,
         nn_method=args.nn_method,
+        **cfg_kw,
     )
     # velocity EMA on: this world's smooth ground has the slide mode the
     # knob exists for (NOTES.md measurements)
-    kwargs = dict(velocity_damping=0.7)
+    kwargs = dict(
+        velocity_damping=0.7,
+        freeze_candidates=args.odo_freeze == "on",
+    )
     warm_t, step_t = _stall_timeouts(args)
     out = run_odometry_compiled(fx, fm, fn, cfg, **kwargs)
     # compile + warm; scalar fetch = true completion fence (see
@@ -470,6 +483,8 @@ def bench_odometry(args):
     )
     print(
         f"# odometry frames={len(frames)} pts/scan={n_pts} "
+        f"nn={cfg.resolve_nn(n_pts)} q_tile={cfg.resolve_q_tile(n_pts)} "
+        f"freeze={args.odo_freeze} "
         f"wall={wall * 1e3:.0f}ms fps={len(frames) / wall:.1f} "
         f"ATE={ate:.4f}m keyframes={int(np_.asarray(out.is_keyframe).sum())}",
         file=sys.stderr,
