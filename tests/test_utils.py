@@ -99,3 +99,36 @@ def test_viz_renders(tmp_path):
     out2 = tmp_path / "t.png"
     render_trajectory(out2, poses, poses)
     assert out2.stat().st_size > 1000
+
+
+def test_collective_traffic_extraction():
+    """collective_traffic (the scaling model's input) finds collectives
+    and sizes their per-device result bytes from compiled HLO."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from icpx.distributed.mesh import make_mesh
+    from icpx.utils.hlo import collective_traffic, shape_bytes
+
+    assert shape_bytes("f32[8,16]{1,0}") == 512
+    assert shape_bytes("(f32[2]{0}, s32[4]{0})") == 24
+    assert shape_bytes("pred[]") == 1  # scalar: empty dims = 1 element
+
+    mesh = make_mesh(axis_names=("points",))
+
+    @partial(
+        jax.shard_map, mesh=mesh, in_specs=P("points"), out_specs=P(),
+        check_vma=False,
+    )
+    def f(x):
+        return jax.lax.psum(jnp.sum(x) * jnp.ones((4,), jnp.float32),
+                            "points")
+
+    txt = jax.jit(f).lower(jnp.ones((64,), jnp.float32)).compile().as_text()
+    rows = collective_traffic(txt)
+    ars = [r for r in rows if r.opcode == "all-reduce"]
+    assert ars, f"no all-reduce found in {len(rows)} rows"
+    assert any(r.bytes == 16 for r in ars), [r.bytes for r in ars]
