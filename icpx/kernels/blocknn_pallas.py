@@ -741,7 +741,9 @@ def _moments6_kernel(q_ref, r2_ref, rt_ref, m_out, *, group, k):
         m_out[j] = m
 
 
-@functools.partial(jax.jit, static_argnames=("k_tiles", "group", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("k_tiles", "group", "interpret", "soa")
+)
 def block_radius_moments_fused6(
     query_tiles: jax.Array,
     index: TileIndex,
@@ -750,9 +752,13 @@ def block_radius_moments_fused6(
     k_tiles: int = 2,
     group: int = 8,
     interpret: bool = False,
+    soa: bool = False,
 ):
     """Drop-in for `blocknn.block_radius_moments` (count, mean, cov) with
-    the whole weight/moment fold in VMEM and no union inflation."""
+    the whole weight/moment fold in VMEM and no union inflation.
+
+    `soa=True` returns the covariance as six (N,) component vectors
+    (c00, c01, c02, c11, c12, c22) instead of a (N, 3, 3) tensor."""
     tq, sq, _ = query_tiles.shape
     t, s, _ = index.tiles.shape
     interpret = interpret or jax.default_backend() != "tpu"
@@ -813,8 +819,26 @@ def block_radius_moments_fused6(
     n = tq * sq
     m = jnp.swapaxes(mT[:tq], 1, 2).reshape(n, 16)
     cnt = m[:, 4]
-    safe = jnp.maximum(cnt, 1.0)[:, None]
-    mean_c = m[:, 0:3] / safe
+    safe1 = jnp.maximum(cnt, 1.0)
+    mx, my, mz = m[:, 0] / safe1, m[:, 1] / safe1, m[:, 2] / safe1
+    if soa:
+        # component (SoA) covariance: no lane-padded (N, 3, 3) tensor
+        # ever materializes — feeds eigh3.smallest_eigenvector_3x3_soa
+        # (round-5: the AoS eigh path measured 216 ms at 8M, 16x over
+        # its SoA rewrite; see eigh3.py docstring)
+        c00 = m[:, 5] / safe1 - mx * mx
+        c11 = m[:, 6] / safe1 - my * my
+        c22 = m[:, 7] / safe1 - mz * mz
+        c01 = m[:, 8] / safe1 - mx * my
+        c02 = m[:, 9] / safe1 - mx * mz
+        c12 = m[:, 10] / safe1 - my * mz
+        mean = (
+            jnp.stack([mx, my, mz], axis=1)
+            + jnp.repeat(q_cent, sq, axis=0)
+        )
+        return cnt, mean, (c00, c01, c02, c11, c12, c22)
+    safe = safe1[:, None]
+    mean_c = jnp.stack([mx, my, mz], axis=1)
     exx = jnp.stack(
         [
             jnp.stack([m[:, 5], m[:, 8], m[:, 9]], axis=1),

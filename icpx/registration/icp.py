@@ -592,16 +592,29 @@ def _index_normals(index, k_normals, k_tiles=4, prec="highest", mode="xla", grou
     radius = auto_cell_size(flat, valid, scale=scale)
     if mode == "vmem":
         from icpx.kernels.blocknn_pallas import block_radius_moments_fused6
+        from icpx.kernels.eigh3 import smallest_eigenvector_3x3_soa
 
         # the kernel group-pads internally (pad_t = (-tq) % group), so
-        # non-divisible tile counts need no fallback here (advice r4)
-        cnt, _, cov = block_radius_moments_fused6(
-            index.tiles, index, radius, k_tiles=k_tiles, group=group
+        # non-divisible tile counts need no fallback here (advice r4).
+        # SoA end-to-end: covariance components and the eigenvector stay
+        # (N,) vectors — the (N, 3, 3) AoS round trip cost 216 ms at 8M
+        # (round-5 decomposition; eigh3.py docstring).
+        cnt, _, comps = block_radius_moments_fused6(
+            index.tiles, index, radius, k_tiles=k_tiles, group=group,
+            soa=True,
         )
-    else:
-        cnt, _, cov = block_radius_moments(
-            index.tiles, index, radius, k_tiles=k_tiles, prec=prec
-        )
+        (vx, vy, vz), _ = smallest_eigenvector_3x3_soa(*comps)
+        # orient toward the (centered-frame) viewpoint at the origin
+        flip = (
+            vx * flat[:, 0] + vy * flat[:, 1] + vz * flat[:, 2]
+        ) > 0.0
+        sign = jnp.where(flip, -1.0, 1.0)
+        normal = jnp.stack([vx * sign, vy * sign, vz * sign], axis=1)
+        ok = (cnt >= 3.0) & valid
+        return jnp.where(ok[:, None], normal, 0.0)
+    cnt, _, cov = block_radius_moments(
+        index.tiles, index, radius, k_tiles=k_tiles, prec=prec
+    )
     normal, _ = smallest_eigenvector_3x3(cov)
     # orient toward the (centered-frame) viewpoint at the origin
     flip = jnp.sum(normal * (-flat), axis=-1) < 0.0

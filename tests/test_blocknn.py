@@ -239,6 +239,35 @@ def test_moments6_matches_jnp_fold(rng):
     assert np.abs(
         np.asarray(cov_6)[valid] - np.asarray(cov_j)[valid]
     ).max() < 1e-4
+    # SoA variant (round 5): component covariances match the AoS tensor
+    # exactly (same kernel output, different packing), and the SoA
+    # eigensolver agrees with the AoS wrapper on the derived normal.
+    from icpx.kernels.eigh3 import (
+        smallest_eigenvector_3x3,
+        smallest_eigenvector_3x3_soa,
+    )
+
+    cnt_s, mean_s, comps = block_radius_moments_fused6(
+        idx.tiles, idx, radius, k_tiles=4, interpret=True, soa=True
+    )
+    np.testing.assert_array_equal(np.asarray(cnt_s), np.asarray(cnt_6))
+    np.testing.assert_allclose(
+        np.asarray(mean_s), np.asarray(mean_6), atol=1e-6
+    )
+    c00, c01, c02, c11, c12, c22 = (np.asarray(c) for c in comps)
+    cov_np = np.asarray(cov_6)
+    np.testing.assert_allclose(c00, cov_np[:, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(c01, cov_np[:, 0, 1], atol=1e-6)
+    np.testing.assert_allclose(c02, cov_np[:, 0, 2], atol=1e-6)
+    np.testing.assert_allclose(c11, cov_np[:, 1, 1], atol=1e-6)
+    np.testing.assert_allclose(c12, cov_np[:, 1, 2], atol=1e-6)
+    np.testing.assert_allclose(c22, cov_np[:, 2, 2], atol=1e-6)
+    (vx, vy, vz), _ = smallest_eigenvector_3x3_soa(*comps)
+    v_aos, _ = smallest_eigenvector_3x3(jnp.asarray(cov_np))
+    v_soa = np.stack([np.asarray(vx), np.asarray(vy), np.asarray(vz)], 1)
+    ok = np.asarray(cnt_s) >= 3
+    dots = np.abs(np.sum(v_soa[ok] * np.asarray(v_aos)[ok], axis=1))
+    assert dots.min() > 1.0 - 1e-5
 
 
 def test_default_operating_point_recall(rng):
