@@ -92,13 +92,25 @@ def _eigenvector_soa(a00, a01, a02, a11, a12, a22, lam):
     vx = pick(c01x, c02x, c12x)
     vy = pick(c01y, c02y, c12y)
     vz = pick(c01z, c02z, c12z)
-    nn = vx * vx + vy * vy + vz * vz
-    inv = 1.0 / jnp.sqrt(jnp.maximum(nn, _EPS * _EPS))
-    ok = nn > 1e-20
+    # Scale-invariant normalization: covariances of millimeter-spacing
+    # neighborhoods have cross products ~1e-12, at/below any absolute
+    # epsilon (a round-5 chip regression thresholded the SQUARED norm
+    # there and sent every 1M-cloud normal to the isotropic fallback,
+    # diverging the registration; the AoS original's `/max(nrm, 1e-12)`
+    # also under-normalized at that scale). Dividing by the largest
+    # component first puts the norm in [1, sqrt(3)] — exact for any
+    # representable input.
+    m = jnp.maximum(
+        jnp.maximum(jnp.abs(vx), jnp.abs(vy)), jnp.abs(vz)
+    )
+    ok = m > 1e-30
+    m_safe = jnp.where(ok, m, 1.0)
+    ux, uy, uz = vx / m_safe, vy / m_safe, vz / m_safe
+    inv = 1.0 / jnp.sqrt(ux * ux + uy * uy + uz * uz)
     # Isotropic fallback: any unit vector is an eigenvector.
-    vx = jnp.where(ok, vx * inv, 0.0)
-    vy = jnp.where(ok, vy * inv, 0.0)
-    vz = jnp.where(ok, vz * inv, 1.0)
+    vx = jnp.where(ok, ux * inv, 0.0)
+    vy = jnp.where(ok, uy * inv, 0.0)
+    vz = jnp.where(ok, uz * inv, 1.0)
     return vx, vy, vz
 
 

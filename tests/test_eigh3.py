@@ -54,3 +54,40 @@ def test_repeated_eigenvalues():
     # eigenvector for 5.0 must be +-z
     v2 = np.asarray(V)[0, :, 2]
     assert abs(abs(v2[2]) - 1.0) < 1e-4
+
+
+def test_small_scale_covariances_no_fallback():
+    """Millimeter-spacing neighborhoods produce covariance entries
+    ~1e-6 whose eigenvector cross products have norms ~1e-12: the
+    solver must normalize them, not hit the isotropic fallback (a
+    round-5 chip regression thresholded the SQUARED norm and sent
+    every 1M-cloud normal to [0,0,1], diverging the registration)."""
+    import numpy as np
+
+    from icpx.kernels.eigh3 import smallest_eigenvector_3x3
+
+    rng = np.random.default_rng(0)
+    # planar neighborhoods at 1e-3 spacing: cov ~ diag(s^2, s^2, tiny)
+    # rotated randomly; the normal must be the plane normal, not z-hat
+    s = 1e-3
+    normals = rng.normal(size=(256, 3)).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    covs = []
+    for nrm in normals:
+        # orthonormal frame with nrm as the third axis
+        a = np.array([1.0, 0.0, 0.0], np.float32)
+        if abs(nrm[0]) > 0.9:
+            a = np.array([0.0, 1.0, 0.0], np.float32)
+        u = np.cross(nrm, a); u /= np.linalg.norm(u)
+        v = np.cross(nrm, u)
+        C = s * s * (np.outer(u, u) + np.outer(v, v)) \
+            + (0.01 * s) ** 2 * np.outer(nrm, nrm)
+        covs.append(C.astype(np.float32))
+    covs = np.stack(covs)
+    vec, w = smallest_eigenvector_3x3(covs)
+    vec = np.asarray(vec)
+    # every returned vector is unit and aligned with the plane normal
+    nn = np.linalg.norm(vec, axis=1)
+    np.testing.assert_allclose(nn, 1.0, atol=1e-4)
+    dots = np.abs(np.sum(vec * normals, axis=1))
+    assert dots.min() > 0.999, float(dots.min())
