@@ -94,11 +94,14 @@ def main():
                     "robust-scale annealing (-1 = auto: 10 for identity "
                     "init, 2 for the global seed)")
     ap.add_argument("--odo-q-tile", type=int, default=0,
-                    help="with --odometry: override block_q_tile for the "
-                    "compiled loop's source tiling (0 = config default)")
-    ap.add_argument("--odo-freeze", default="on", choices=["on", "off"],
+                    help="with --odometry: source query-tile size for "
+                    "the compiled loop (0 = auto: 256 from 65k-pt "
+                    "scans, 128 from 8k — the round-5 measured ladder)")
+    ap.add_argument("--odo-freeze", default="auto",
+                    choices=["auto", "on", "off"],
                     help="with --odometry: freeze per-frame candidate "
-                    "tiles at the warm init (round-5 default on)")
+                    "tiles at the warm init (auto: on from 16k-pt "
+                    "scans)")
     ap.add_argument("--frames", type=int, default=20)
     ap.add_argument("--scan-points", type=int, default=8192,
                     help="points per scan for --odometry")
@@ -426,9 +429,6 @@ def bench_odometry(args):
     fx = jnp.stack([f.xyz for f in frames])
     fm = jnp.stack([f.mask for f in frames])
     fn = jnp.stack([f.normals for f in frames])
-    cfg_kw = {}
-    if args.odo_q_tile:
-        cfg_kw["block_q_tile"] = args.odo_q_tile
     cfg = ICPConfig(
         objective=args.objective,
         max_iters=args.iters,
@@ -437,13 +437,15 @@ def bench_odometry(args):
         robust="huber",
         max_corr_dist=2.0,
         nn_method=args.nn_method,
-        **cfg_kw,
     )
     # velocity EMA on: this world's smooth ground has the slide mode the
     # knob exists for (NOTES.md measurements)
     kwargs = dict(
         velocity_damping=0.7,
-        freeze_candidates=args.odo_freeze == "on",
+        freeze_candidates=(
+            None if args.odo_freeze == "auto" else args.odo_freeze == "on"
+        ),
+        q_tile=args.odo_q_tile,
     )
     warm_t, step_t = _stall_timeouts(args)
     out = run_odometry_compiled(fx, fm, fn, cfg, **kwargs)
@@ -483,7 +485,8 @@ def bench_odometry(args):
     )
     print(
         f"# odometry frames={len(frames)} pts/scan={n_pts} "
-        f"nn={cfg.resolve_nn(n_pts)} q_tile={cfg.resolve_q_tile(n_pts)} "
+        f"nn={cfg.resolve_nn(n_pts)} "
+        f"q_tile={args.odo_q_tile or (256 if n_pts >= 65536 else 128 if n_pts >= 8192 else cfg.resolve_q_tile(n_pts))} "
         f"freeze={args.odo_freeze} "
         f"wall={wall * 1e3:.0f}ms fps={len(frames) / wall:.1f} "
         f"ATE={ate:.4f}m keyframes={int(np_.asarray(out.is_keyframe).sum())}",

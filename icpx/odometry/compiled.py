@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -89,7 +89,7 @@ class CompiledOdometry:
                                    "max_correction_rot", "velocity_damping",
                                    "adaptive_velocity", "innovation_scale",
                                    "velocity_damping_min",
-                                   "freeze_candidates"))
+                                   "freeze_candidates", "q_tile"))
 def run_odometry_compiled(
     frames_xyz: jax.Array,  # (F, N, 3) sensor-frame scans
     frames_mask: jax.Array,  # (F, N)
@@ -111,7 +111,8 @@ def run_odometry_compiled(
     adaptive_velocity: bool = True,
     innovation_scale: float = 0.5,
     velocity_damping_min: float = 0.25,
-    freeze_candidates: bool = True,
+    freeze_candidates: Optional[bool] = None,
+    q_tile: int = 0,
 ) -> CompiledOdometry:
     """Returns a `CompiledOdometry` (poses[0] = identity; world = first
     sensor frame).
@@ -125,10 +126,29 @@ def run_odometry_compiled(
     motion well under a tile extent, the same precondition the
     single-pair path's frozen refine candidates rely on after coarse
     alignment. Misses follow block-NN semantics (genuine-but-larger
-    distances, robust-gated).
+    distances, robust-gated). None = auto: on from 16384-pt scans up
+    (chip ladder 2026-08-21: per-frame ranking beats per-iteration
+    ranking at >=16k — 65k 61 -> 75 fps, 131k 27 -> 35; at 8k the
+    per-frame overhead loses, 312 -> 266).
+
+    `q_tile` overrides the source query-tile size; 0 = auto: 256 from
+    65536-pt scans, 128 from 8192, else `config.resolve_q_tile`. The
+    SCAN-regime crossover differs from the single-pair tuning (Sq=64
+    at <=2M registration points): simulated-LiDAR scan density favors
+    wider tiles at every measured scan size (chip ladder: 8k 312 ->
+    379 fps, 16k 177 -> 300, 32k 153 -> 186, 65k 93 -> 103 (q256),
+    131k 48 -> 52 (q256), ATE unchanged).
     """
     f = frames_xyz.shape[0]
     n_pts = frames_xyz.shape[1]
+    if freeze_candidates is None:
+        freeze_candidates = n_pts >= 16384
+    if q_tile == 0:
+        q_tile = (
+            256 if n_pts >= 65536
+            else 128 if n_pts >= 8192
+            else config.resolve_q_tile(n_pts)
+        )
     gicp = config.objective == "gicp"
     aux_rot = gicp_cov_rot if gicp else None
     # Brute NN is right for LiDAR-scale scans (8-16k points: one fused
@@ -192,7 +212,7 @@ def run_odometry_compiled(
 
         builder = config.tile_builder()
         s_idx = trim_index(
-            builder(fx_c, fm, tile_size=config.resolve_q_tile(n_pts)),
+            builder(fx_c, fm, tile_size=q_tile),
             n_pts,
         )
         order = s_idx.order
@@ -200,7 +220,7 @@ def run_odometry_compiled(
         safe = jnp.maximum(order, 0)
         s_xyz = s_idx.tiles.reshape(-1, 3)
         s_n = jnp.where(valid[:, None], fn[safe], 0.0)
-        sq = config.resolve_q_tile(n_pts)
+        sq = q_tile
         tq = s_xyz.shape[0] // sq
 
         cand = None
