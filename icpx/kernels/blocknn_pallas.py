@@ -676,6 +676,185 @@ def block_fold_fused_pre(
     return d, pl_rows[:, :d_pl]
 
 
+# ---- take 7 (round 5): MXU-scored centered fold -----------------------------
+#
+# The take-6 fold measured 35% of its VPU bound at 8M (74.5 ms/iter,
+# scripts/exp_stage5.py) with group sweeps flat — the per-candidate
+# (Sq, S) broadcast score is the time. The XLA fold scores the same
+# candidates on the MXU (centered bf16, one pass, f32 accumulate) in
+# 38.9 ms including the min. Take 7 moves the kernel's score to the
+# MXU: prep builds per-candidate bf16 operands B = [-2*rc; rrc] (4, S)
+# CENTERED on the frozen-phase query-tile centroids (centering is what
+# makes single-pass bf16 safe — NOTES round-3 lever 0; the shift
+# cancels exactly in ||q-r||^2 when applied to both sides), and the
+# kernel's pass 1 becomes one (Sq,4)x(4,S) matmul per candidate.
+# Payload selection (pass 2) is unchanged f32-exact.
+
+
+def _fold7_kernel(q_ref, b_ref, pl_ref, d_out, pl_out, *, group, k):
+    for j in range(group):
+        q = q_ref[j].T  # (Sq, 3) centered queries, f32
+        qq = jnp.sum(q * q, axis=1, keepdims=True)  # (Sq, 1)
+        sq = q.shape[0]
+        s = b_ref.shape[3]
+        ones = jnp.ones((sq, 1), jnp.float32)
+        q4 = jnp.concatenate([q, ones], axis=1).astype(jnp.bfloat16)
+        dn = (((1,), (0,)), ((), ()))
+        kw = dict(
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        bs = jnp.full((sq, s), _BIG, jnp.float32)
+        bc = jnp.zeros((sq, s), jnp.int32)
+        for c in range(k):
+            score = jax.lax.dot_general(
+                q4, b_ref[j, c], dn, **kw
+            )  # (Sq, S) = -2 q.rc + rrc, f32 accumulate
+            better = score < bs
+            bs = jnp.where(better, score, bs)
+            bc = jnp.where(better, c, bc)
+        smin = jnp.min(bs, axis=1, keepdims=True)
+        lane = jax.lax.broadcasted_iota(jnp.int32, bs.shape, 1)
+        win = jnp.min(jnp.where(bs <= smin, lane, s), axis=1,
+                      keepdims=True)
+        base = (lane == win).astype(jnp.float32)
+        dnp = (((1,), (1,)), ((), ()))
+        sel = None
+        for c in range(k):
+            ohc = (base * (bc == c)).astype(jnp.bfloat16)
+            plv = pl_ref[j, c]  # (D, S) f32
+            hi = plv.astype(jnp.bfloat16)
+            r1 = plv - hi.astype(jnp.float32)
+            mid = r1.astype(jnp.bfloat16)
+            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            part = (
+                jax.lax.dot_general(ohc, hi, dnp, **kw)
+                + jax.lax.dot_general(ohc, mid, dnp, **kw)
+                + jax.lax.dot_general(ohc, lo, dnp, **kw)
+            )
+            sel = part if sel is None else sel + part
+        d_out[j] = jnp.maximum(smin[:, 0] + qq[:, 0], 0.0)
+        pl_out[j] = sel.T
+
+
+def fold7_prepare(
+    cand_tiles: jax.Array,  # (Tq, k) frozen candidate tile ids
+    q_cent: jax.Array,  # (Tq, 3) frozen-phase query tile centroids
+    index: TileIndex,
+    payload_tiles: jax.Array,  # (T, S, D)
+    group: int = 8,
+) -> Tuple[jax.Array, jax.Array, jax.Array, int]:
+    """Loop-invariant prep for `block_fold7_pre`: per-candidate bf16
+    score operands B = [-2*(r - q_cent); ||r - q_cent||^2] (Tq', k, 4,
+    S), payload rows as in fold6_prepare, and the padded centroids.
+
+    Centering uses the FROZEN-phase centroids (refine motion stays well
+    under a tile extent, and the shift cancels exactly in the reported
+    distance because the queries are centered by the same vector)."""
+    tq, k = cand_tiles.shape
+    t, s, d_pl = payload_tiles.shape
+    d_pad = -(-d_pl // 8) * 8
+    rt3 = jnp.swapaxes(index.tiles, 1, 2)  # (T, 3, S)
+    rc = rt3[cand_tiles] - q_cent[:, None, :, None]  # centered (Tq,k,3,S)
+    rrc = jnp.sum(rc * rc, axis=2, keepdims=True)  # (Tq, k, 1, S)
+    b = jnp.concatenate([-2.0 * rc, rrc], axis=2).astype(
+        jnp.bfloat16
+    )  # (Tq, k, 4, S)
+    pl_t = jnp.swapaxes(payload_tiles, 1, 2)
+    if d_pad != d_pl:
+        pl_t = jnp.concatenate(
+            [pl_t, jnp.zeros((t, d_pad - d_pl, s), jnp.float32)], axis=1
+        )
+    pl_cand = pl_t[cand_tiles]
+    pad_t = (-tq) % group
+    if pad_t:
+        b = jnp.concatenate(
+            [b, jnp.full((pad_t, k, 4, s), jnp.bfloat16(PAD_COORD))]
+        )
+        pl_cand = jnp.concatenate(
+            [pl_cand, jnp.zeros((pad_t, k, d_pad, s), jnp.float32)]
+        )
+        q_cent = jnp.concatenate(
+            [q_cent, jnp.zeros((pad_t, 3), jnp.float32)]
+        )
+    return b, pl_cand, q_cent, d_pl
+
+
+@functools.partial(
+    jax.jit, static_argnames=("d_pl", "group", "interpret")
+)
+def block_fold7_pre(
+    query_tiles: jax.Array,  # (Tq, Sq, 3) CURRENT transformed queries
+    b_cand: jax.Array,  # from fold7_prepare
+    pl_cand: jax.Array,
+    q_cent: jax.Array,  # from fold7_prepare (padded)
+    d_pl: int,
+    *,
+    group: int = 8,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Take-7 fold: MXU-scored variant of `block_fold_fused_pre` (same
+    outputs, same miss contract; score precision = centered single-pass
+    bf16 with f32 accumulate — the class the XLA fold already uses)."""
+    tq, sq, _ = query_tiles.shape
+    k, _, s = b_cand.shape[1:]
+    d_pad = pl_cand.shape[2]
+    interpret = interpret or jax.default_backend() != "tpu"
+
+    pad_t = b_cand.shape[0] - tq
+    if pad_t:
+        query_tiles = jnp.concatenate(
+            [query_tiles,
+             jnp.full((pad_t, sq, 3), PAD_COORD, jnp.float32)]
+        )
+    g = (tq + pad_t) // group
+    # center queries by the SAME frozen centroids the prep used, then
+    # S-minor layout
+    q_t = jnp.swapaxes(query_tiles - q_cent[:, None, :], 1, 2)
+
+    d, pl_t = pl.pallas_call(
+        functools.partial(_fold7_kernel, group=group, k=k),
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(
+                (group, 3, sq), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (group, k, 4, s), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (group, k, d_pad, s), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (group, sq), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (group, d_pad, sq), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g * group, sq), jnp.float32),
+            jax.ShapeDtypeStruct((g * group, d_pad, sq), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(q_t, b_cand, pl_cand)
+
+    d = d[:tq].reshape(-1)
+    d = jnp.where(d < 1e15, d, jnp.inf)
+    pl_rows = jnp.swapaxes(pl_t[:tq], 1, 2).reshape(tq * sq, d_pad)
+    return d, pl_rows[:, :d_pl]
+
+
 def block_fold_fused(
     query_tiles: jax.Array,
     cand_tiles: jax.Array,

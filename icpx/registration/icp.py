@@ -238,10 +238,11 @@ class ICPConfig:
         if self.block_fused not in ("auto", "on", "off"):
             raise ValueError("block_fused must be auto|on|off")
         if self.payload_mode not in (
-            "auto", "gather", "infold", "select", "vmem"
+            "auto", "gather", "infold", "select", "vmem", "vmem7"
         ):
             raise ValueError(
-                "payload_mode must be auto|gather|infold|select|vmem"
+                "payload_mode must be auto|gather|infold|select|vmem|"
+                "vmem7"
             )
         if self.moments_mode not in ("auto", "xla", "vmem"):
             raise ValueError("moments_mode must be auto|xla|vmem")
@@ -641,7 +642,9 @@ def _effective_payload_mode(
     carve-out, then the missing no-candidates one — the gather path was
     measured at 263 ms/iter at 8M)."""
     pmode = config.resolve_payload(tgt_capacity)
-    if pmode == "vmem" and (use_feat or fused or not will_freeze):
+    if pmode in ("vmem", "vmem7") and (
+        use_feat or fused or not will_freeze
+    ):
         pmode = (
             "infold"
             if tgt_capacity >= config.payload_infold_threshold
@@ -817,7 +820,9 @@ def _register_jit(
         # min, payload selection — in one VMEM kernel over per-tile
         # frozen candidates (no HBM score/one-hot round trips, no row
         # gather). Same frozen-candidate gating as "select".
-        vmem_fold = not fused and not use_feat and pmode == "vmem"
+        vmem_fold = not fused and not use_feat and pmode in (
+            "vmem", "vmem7"
+        )
         if infold or select or vmem_fold:
             from icpx.kernels.blocknn import block_nn_payload
 
@@ -825,11 +830,14 @@ def _register_jit(
                 tgt_index.n_tiles, tgt_index.tile_size, tgt_pl.shape[1]
             )
 
-        def make_nn(n_tiles, tile_rows, k_tiles, cand=None, qfeat=None):
+        def make_nn(n_tiles, tile_rows, k_tiles, cand=None, qfeat=None,
+                    qcent=None):
             if vmem_fold and cand is not None:
                 from icpx.kernels.blocknn_pallas import (
+                    block_fold7_pre,
                     block_fold_fused_pre,
                     fold6_prepare,
+                    fold7_prepare,
                 )
 
                 # prep is loop-invariant per phase: computed HERE (at
@@ -841,6 +849,20 @@ def _register_jit(
                 # (pad_t = (-tq) % group) — no divisibility fallback
                 # needed (advice r4)
                 vg = config.vmem_group
+                if pmode == "vmem7" and qcent is not None:
+                    # take-7: MXU-scored centered fold (round 5)
+                    b_c, pl_c7, qc7, dpl7 = fold7_prepare(
+                        cand, qcent, tgt_index, tgt_pl_tiles, group=vg
+                    )
+
+                    def nn_fn_vmem7(p):
+                        d2, pl = block_fold7_pre(
+                            p.reshape(n_tiles, tile_rows, 3),
+                            b_c, pl_c7, qc7, dpl7, group=vg,
+                        )
+                        return pl[:, :3], pl[:, 3:], jnp.sqrt(d2)
+
+                    return nn_fn_vmem7
                 rt_c, pl_c, dpl = fold6_prepare(
                     cand, tgt_index, tgt_pl_tiles, group=vg
                 )
@@ -965,12 +987,12 @@ def _register_jit(
         # (~15% of a 1M registration) is paid once instead of per
         # iteration. Only safe when a coarse phase ran (refine starts
         # near-aligned); the fused kernel selects internally.
-        cand_ref = None
+        cand_ref = qcent_ref = None
         if will_freeze:
             from icpx.kernels.blocknn import _candidate_tiles
 
             p0 = init.apply(src_xyz).reshape(tq, sq, 3)
-            cand_ref = _candidate_tiles(p0, tgt_index, k_ref)[0]
+            cand_ref, qcent_ref = _candidate_tiles(p0, tgt_index, k_ref)
 
         # Multi-resolution refine: bulk iterations on every
         # refine_stride-th row WITHIN each query tile (same tiles, same
@@ -1014,7 +1036,7 @@ def _register_jit(
                 substride(src_n_s, dn),
                 init,
                 make_nn(
-                    tq, sq_m, k_ref, cand=cand_ref,
+                    tq, sq_m, k_ref, cand=cand_ref, qcent=qcent_ref,
                     qfeat=substride(src_f) if use_feat else None,
                 ),
                 aux_rot=aux_rot,
@@ -1031,7 +1053,7 @@ def _register_jit(
         res = _icp_scan(
             config, src_xyz, src_mask, src_n_s, init,
             make_nn(
-                tq, sq, k_ref, cand=cand_ref,
+                tq, sq, k_ref, cand=cand_ref, qcent=qcent_ref,
                 qfeat=src_f if use_feat else None,
             ),
             aux_rot=aux_rot,

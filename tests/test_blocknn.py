@@ -481,7 +481,7 @@ def test_register_payload_modes_equivalent(rng):
         mask=src.mask[perm]
     )
     results = {}
-    for mode in ("gather", "infold", "select", "vmem"):
+    for mode in ("gather", "infold", "select", "vmem", "vmem7"):
         cfg = ICPConfig(
             max_iters=8, diff_threshold=0.0, rmse_change_tol=1e-6,
             nn_method="block", payload_mode=mode,
@@ -492,16 +492,16 @@ def test_register_payload_modes_equivalent(rng):
         rot_err, t_err = res.transform.distance_to(gt)
         assert float(rot_err) < 5e-3 and float(t_err) < 5e-3, mode
         results[mode] = res
-    for other in ("infold", "select", "vmem"):
+    for other in ("infold", "select", "vmem", "vmem7"):
         np.testing.assert_allclose(
             np.asarray(results["gather"].transform.R),
             np.asarray(results[other].transform.R),
             atol=1e-5, err_msg=other,
         )
         if other == "vmem":
-            # take-6 scores on the f32 VPU (not the bf16-centered MXU):
-            # near-tie NN picks differ, so histories agree only to the
-            # converged noise floor, and the stop can shift by an iter.
+            # take-6 scores on the f32 VPU: near-tie NN picks differ,
+            # so histories agree only to the converged noise floor, and
+            # the stop can shift by an iter.
             assert (
                 abs(
                     float(results[other].final_rmse)
@@ -509,6 +509,16 @@ def test_register_payload_modes_equivalent(rng):
                 )
                 < 5e-6
             )
+            continue
+        if other == "vmem7":
+            # take-7 scores on the centered-bf16 MXU — the same
+            # precision class as the TPU defaults' XLA fold
+            # (score_precision="auto"->bf16): REPORTED distances carry a
+            # bf16 noise floor ~ (tile extent)^2 * 2^-9, so final_rmse
+            # floors near 1e-3 here while the POSE (solved from
+            # f32-exact payload coordinates) matches to fp32 (asserted
+            # above on R).
+            assert float(results[other].final_rmse) < 2e-3
             continue
         np.testing.assert_allclose(
             np.asarray(results["gather"].rmse_history),
