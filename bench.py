@@ -407,7 +407,11 @@ def bench_odometry(args):
     import numpy as np_
 
     from icpx.kernels.normals import estimate_normals
-    from icpx.odometry.compiled import run_odometry_compiled
+    from icpx.odometry.compiled import (
+        resolve_odo_freeze,
+        resolve_odo_q_tile,
+        run_odometry_compiled,
+    )
     from icpx.odometry.evaluate import ate_rmse
     from icpx.odometry.kitti import make_trajectory, make_world, simulate_scans
     from icpx.registration.icp import ICPConfig
@@ -486,8 +490,8 @@ def bench_odometry(args):
     print(
         f"# odometry frames={len(frames)} pts/scan={n_pts} "
         f"nn={cfg.resolve_nn(n_pts)} "
-        f"q_tile={args.odo_q_tile or (256 if n_pts >= 65536 else 128 if n_pts >= 8192 else cfg.resolve_q_tile(n_pts))} "
-        f"freeze={args.odo_freeze} "
+        f"q_tile={resolve_odo_q_tile(cfg, n_pts, args.odo_q_tile)} "
+        f"freeze={resolve_odo_freeze(n_pts, kwargs['freeze_candidates'])} "
         f"wall={wall * 1e3:.0f}ms fps={len(frames) / wall:.1f} "
         f"ATE={ate:.4f}m keyframes={int(np_.asarray(out.is_keyframe).sum())}",
         file=sys.stderr,

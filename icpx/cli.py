@@ -335,6 +335,11 @@ def cmd_odometry(args) -> int:
             icp_cfg,
             keyframe_trans=args.keyframe_trans,
             keyframe_rot=args.keyframe_rot,
+            freeze_candidates=(
+                None if args.odo_freeze == "auto"
+                else args.odo_freeze == "on"
+            ),
+            q_tile=args.odo_q_tile,
         )
         import numpy as np
 
@@ -577,6 +582,14 @@ def main(argv=None) -> int:
                         "(fastest; scan-to-keyframe only, measured edges; "
                         "--resume/--backend/--dynamic-sigma need the host "
                         "path)")
+    p.add_argument("--odo-q-tile", type=int, default=0,
+                   help="with --compiled: source query-tile size (0 = "
+                        "auto: 256 from 65k-pt scans, 128 from 8k)")
+    p.add_argument("--odo-freeze", default="auto",
+                   choices=("auto", "on", "off"),
+                   help="with --compiled: freeze per-frame candidate "
+                        "tiles at the warm init (auto: on from 16k-pt "
+                        "scans)")
     p.add_argument("--stall-timeout", type=float, default=-1.0,
                    help="seconds before a hung per-frame device fence "
                         "raises CollectiveStallError (-1 = auto: off on "

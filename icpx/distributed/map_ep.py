@@ -379,20 +379,14 @@ def sharded_map_register(
     )
     def run(s_xyz, s_mask, s_n, b_xyz, b_n, b_mask, bounds, lo, inv_e, iR, it):
         if use_block:
-            from icpx.kernels.blocknn import tile_payload
+            from icpx.kernels.blocknn import fused_payload_table
 
             # built ONCE per registration (outside the ICP while_loop):
             # the map block never moves, only the scan does
             b_idx = config.tile_builder()(
                 b_xyz[0], b_mask[0], tile_size=config.block_tile
             )
-            b_pl = jnp.concatenate(
-                [
-                    b_idx.tiles.reshape(-1, 3),
-                    tile_payload(b_idx, b_n[0]).reshape(-1, 3),
-                ],
-                axis=1,
-            )
+            b_pl = fused_payload_table(b_idx, b_n[0])
         else:
             b_idx = b_pl = None
 

@@ -739,6 +739,21 @@ def tile_payload(index: TileIndex, payload: jax.Array) -> jax.Array:
     return flat.reshape(t, s, payload.shape[1])
 
 
+def fused_payload_table(index: TileIndex, aux: jax.Array) -> jax.Array:
+    """The fused (T*S, 3+D) `[xyz || aux]` table in SORTED tile order —
+    exactly the rows `block_nn(..., return_pos=True)` positions index
+    into. One shared constructor (review r5: the concat invariant was
+    re-spelled at every call site); one row gather per iteration
+    delivers coordinates AND payload together."""
+    return jnp.concatenate(
+        [
+            index.tiles.reshape(-1, 3),
+            tile_payload(index, aux).reshape(-1, aux.shape[1]),
+        ],
+        axis=1,
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=(

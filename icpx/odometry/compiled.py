@@ -46,6 +46,31 @@ from icpx.odometry.frontend import blend_velocity
 from icpx.registration.icp import ICPConfig, _icp_scan, gicp_cov_rot
 
 
+def resolve_odo_freeze(n_pts: int, freeze: Optional[bool] = None) -> bool:
+    """Per-frame frozen-candidate default: on from 16384-pt scans (chip
+    ladder 2026-08-21 — see run_odometry_compiled docstring)."""
+    return n_pts >= 16384 if freeze is None else freeze
+
+
+def resolve_odo_q_tile(config: ICPConfig, n_pts: int, q_tile: int = 0) -> int:
+    """Source query-tile size for the compiled scan loop.
+
+    Explicit `q_tile` wins; an explicitly tuned `config.block_q_tile`
+    (anything but the class default) wins next — the ladder must not
+    silently override a user's tiling (review r5); otherwise the
+    measured scan-regime ladder: 256 from 65536-pt scans, 128 from
+    8192, else the config resolution."""
+    if q_tile:
+        return q_tile
+    if config.block_q_tile != ICPConfig.block_q_tile:
+        return config.resolve_q_tile(n_pts)
+    return (
+        256 if n_pts >= 65536
+        else 128 if n_pts >= 8192
+        else config.resolve_q_tile(n_pts)
+    )
+
+
 @struct.dataclass
 class CompiledOdometry:
     """Whole-sequence compiled odometry output (device arrays)."""
@@ -141,14 +166,8 @@ def run_odometry_compiled(
     """
     f = frames_xyz.shape[0]
     n_pts = frames_xyz.shape[1]
-    if freeze_candidates is None:
-        freeze_candidates = n_pts >= 16384
-    if q_tile == 0:
-        q_tile = (
-            256 if n_pts >= 65536
-            else 128 if n_pts >= 8192
-            else config.resolve_q_tile(n_pts)
-        )
+    freeze_candidates = resolve_odo_freeze(n_pts, freeze_candidates)
+    q_tile = resolve_odo_q_tile(config, n_pts, q_tile)
     gicp = config.objective == "gicp"
     aux_rot = gicp_cov_rot if gicp else None
     # Brute NN is right for LiDAR-scale scans (8-16k points: one fused
@@ -178,7 +197,11 @@ def run_odometry_compiled(
         """Keyframe-side state, computed ONCE per keyframe spawn: the
         centroid shift, the trimmed tile index over the centered cloud,
         and the fused (N, 3+D) sorted payload table."""
-        from icpx.kernels.blocknn import _SUPER_G, tile_payload, trim_index
+        from icpx.kernels.blocknn import (
+            _SUPER_G,
+            fused_payload_table,
+            trim_index,
+        )
 
         denom = jnp.maximum(fm.sum(), 1).astype(jnp.float32)
         center = jnp.where(fm[:, None], fx, 0.0).sum(0) / denom
@@ -189,14 +212,7 @@ def run_odometry_compiled(
             n_pts,
             multiple=_SUPER_G,
         )
-        tgt_pl = jnp.concatenate(
-            [
-                t_idx.tiles.reshape(-1, 3),
-                tile_payload(t_idx, fn).reshape(-1, fn.shape[1]),
-            ],
-            axis=1,
-        )
-        return t_idx, tgt_pl, center
+        return t_idx, fused_payload_table(t_idx, fn), center
 
     def block_register(fx_c, fm, fn, t_idx, tgt_pl, init_c):
         """One frame-to-keyframe registration via tile-index NN (both

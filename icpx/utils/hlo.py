@@ -111,7 +111,12 @@ def parse_computations(hlo_text: str) -> Dict[str, List[HloOp]]:
         # `=` check would misclassify wide-tuple headers.
         if stripped.endswith("{") and " = " not in stripped.split("{")[0]:
             header = stripped[:-1].strip()
-            # `%fused_computation.1 (param_0: f32[8]) -> f32[8] {`
+            # `%fused_computation.1 (param_0: f32[8]) -> f32[8] {`;
+            # the entry computation prefixes an ENTRY keyword —
+            # `ENTRY %main.42 (...) -> ... {` — skip it so the row
+            # carries the real computation name (review r5)
+            if header.startswith("ENTRY"):
+                header = header[len("ENTRY"):].strip()
             m = re.match(r"%?([\w.\-]+)", header)
             if m:
                 cur_name = m.group(1)
@@ -248,6 +253,8 @@ def collective_traffic(hlo_text: str) -> List[CollectiveTraffic]:
     for line in hlo_text.splitlines():
         s = line.strip()
         if s.endswith("{") and " = " not in s.split("{")[0]:
+            if s.startswith("ENTRY"):
+                s = s[len("ENTRY"):].strip()
             m = re.match(r"%?([\w.\-]+)", s)
             comp = m.group(1) if m else comp
             continue

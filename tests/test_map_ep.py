@@ -205,18 +205,12 @@ def test_block_answering_matches_brute_at_64k_blocks():
         )
         def run(qs, bx, bn, bm, bounds, lo, inv_e):
             if use_block:
-                from icpx.kernels.blocknn import tile_payload
+                from icpx.kernels.blocknn import fused_payload_table
 
                 b_idx = cfg.tile_builder()(
                     bx[0], bm[0], tile_size=cfg.block_tile
                 )
-                b_pl = jnp.concatenate(
-                    [
-                        b_idx.tiles.reshape(-1, 3),
-                        tile_payload(b_idx, bn[0]).reshape(-1, 3),
-                    ],
-                    axis=1,
-                )
+                b_pl = fused_payload_table(b_idx, bn[0])
             else:
                 b_idx = b_pl = None
             d, mx, mn = routed_map_nn(
