@@ -181,3 +181,31 @@ def test_frozen_frame_candidates_track_unfrozen():
     assert list(np.asarray(runs[True].is_keyframe)) == list(
         np.asarray(runs[False].is_keyframe)
     )
+
+
+def test_odo_resolvers_contract():
+    """The odometry auto ladders and their override precedence (review
+    r5): explicit q_tile wins; an explicitly tuned config.block_q_tile
+    is honored (the ladder must not silently override user tiling);
+    otherwise the measured scan-regime ladder applies."""
+    from icpx.odometry.compiled import (
+        resolve_odo_freeze,
+        resolve_odo_q_tile,
+    )
+
+    cfg_default = ICPConfig()
+    assert resolve_odo_q_tile(cfg_default, 131072) == 256
+    assert resolve_odo_q_tile(cfg_default, 65536) == 256
+    assert resolve_odo_q_tile(cfg_default, 16384) == 128
+    assert resolve_odo_q_tile(cfg_default, 8192) == 128
+    assert resolve_odo_q_tile(cfg_default, 4096) == \
+        cfg_default.resolve_q_tile(4096)
+    # explicit q_tile wins over everything
+    assert resolve_odo_q_tile(cfg_default, 131072, q_tile=64) == 64
+    # explicitly tuned config tiling is honored, not laddered away
+    cfg_tuned = ICPConfig(block_q_tile=32)
+    assert resolve_odo_q_tile(cfg_tuned, 16384) == 32
+    assert resolve_odo_freeze(8192) is False
+    assert resolve_odo_freeze(16384) is True
+    assert resolve_odo_freeze(8192, True) is True
+    assert resolve_odo_freeze(131072, False) is False
