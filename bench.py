@@ -102,6 +102,11 @@ def main():
                     help="with --odometry: freeze per-frame candidate "
                     "tiles at the warm init (auto: on from 16k-pt "
                     "scans)")
+    ap.add_argument("--odo-refine-stride", type=int, default=0,
+                    help="with --odometry: within-tile row stride for "
+                    "the bulk refine iterations of each per-frame "
+                    "registration (multi-resolution refine; 0/1 = off, "
+                    "the measured default)")
     ap.add_argument("--frames", type=int, default=20)
     ap.add_argument("--scan-points", type=int, default=8192,
                     help="points per scan for --odometry")
@@ -410,6 +415,7 @@ def bench_odometry(args):
     from icpx.odometry.compiled import (
         resolve_odo_freeze,
         resolve_odo_q_tile,
+        resolve_odo_refine_stride,
         run_odometry_compiled,
     )
     from icpx.odometry.evaluate import ate_rmse
@@ -450,6 +456,7 @@ def bench_odometry(args):
             None if args.odo_freeze == "auto" else args.odo_freeze == "on"
         ),
         q_tile=args.odo_q_tile,
+        refine_stride=args.odo_refine_stride,
     )
     warm_t, step_t = _stall_timeouts(args)
     out = run_odometry_compiled(fx, fm, fn, cfg, **kwargs)
@@ -492,6 +499,7 @@ def bench_odometry(args):
         f"nn={cfg.resolve_nn(n_pts)} "
         f"q_tile={resolve_odo_q_tile(cfg, n_pts, args.odo_q_tile)} "
         f"freeze={resolve_odo_freeze(n_pts, kwargs['freeze_candidates'])} "
+        f"stride={resolve_odo_refine_stride(cfg, n_pts, args.odo_refine_stride)} "
         f"wall={wall * 1e3:.0f}ms fps={len(frames) / wall:.1f} "
         f"ATE={ate:.4f}m keyframes={int(np_.asarray(out.is_keyframe).sum())}",
         file=sys.stderr,

@@ -52,6 +52,32 @@ def resolve_odo_freeze(n_pts: int, freeze: Optional[bool] = None) -> bool:
     return n_pts >= 16384 if freeze is None else freeze
 
 
+def resolve_odo_refine_stride(
+    config: ICPConfig, n_pts: int, stride: int = 0
+) -> int:
+    """Within-tile refine stride for each per-frame registration of the
+    compiled scan loop (multi-resolution refine: bulk iterations on every
+    stride-th row of each query tile, `refine_full_iters` at full
+    resolution).
+
+    Explicit `stride` wins; an explicitly set `config.refine_stride`
+    (non-auto) wins next; otherwise the measured scan-regime ladder —
+    4 from 131072-pt scans, 2 from 65536, else 1. Chip A/Bs 2026-08-21
+    (in-session, ATE-gated): 131k 50.9 -> 65.6 fps (+29%, stride 8 adds
+    only +1%), 65k 104.5 -> 118.5 (+13%), 32k/16k a wash, 8k costs ATE
+    (0.114 -> 0.135) — the subsampled phase pays off only where the
+    per-iteration fold dominates the frame. This inverts the single-pair
+    auto (retired to stride 1 at 8M: cold-start registrations pay extra
+    iterations for the noisier solve statistics); the odometry frames
+    are WARM-started, so the stride mostly thins already-converging
+    iterations instead of adding new ones."""
+    if stride:
+        return stride
+    if config.refine_stride:
+        return config.refine_stride
+    return 4 if n_pts >= 131072 else 2 if n_pts >= 65536 else 1
+
+
 def resolve_odo_q_tile(config: ICPConfig, n_pts: int, q_tile: int = 0) -> int:
     """Source query-tile size for the compiled scan loop.
 
@@ -114,7 +140,8 @@ class CompiledOdometry:
                                    "max_correction_rot", "velocity_damping",
                                    "adaptive_velocity", "innovation_scale",
                                    "velocity_damping_min",
-                                   "freeze_candidates", "q_tile"))
+                                   "freeze_candidates", "q_tile",
+                                   "refine_stride"))
 def run_odometry_compiled(
     frames_xyz: jax.Array,  # (F, N, 3) sensor-frame scans
     frames_mask: jax.Array,  # (F, N)
@@ -138,6 +165,7 @@ def run_odometry_compiled(
     velocity_damping_min: float = 0.25,
     freeze_candidates: Optional[bool] = None,
     q_tile: int = 0,
+    refine_stride: int = 0,
 ) -> CompiledOdometry:
     """Returns a `CompiledOdometry` (poses[0] = identity; world = first
     sensor frame).
@@ -163,11 +191,18 @@ def run_odometry_compiled(
     wider tiles at every measured scan size (chip ladder: 8k 312 ->
     379 fps, 16k 177 -> 300, 32k 153 -> 186, 65k 93 -> 103 (q256),
     131k 48 -> 52 (q256), ATE unchanged).
+
+    `refine_stride` (block path): within-tile row stride for the bulk of
+    each per-frame registration's iterations, full resolution for the
+    last `config.refine_full_iters` — see `resolve_odo_refine_stride`
+    for the measured ladder (0 = auto: 4 from 131k-pt scans, 2 from
+    65k; chip 2026-08-21: 131k 50.9 -> 65.6 fps at equal ATE).
     """
     f = frames_xyz.shape[0]
     n_pts = frames_xyz.shape[1]
     freeze_candidates = resolve_odo_freeze(n_pts, freeze_candidates)
     q_tile = resolve_odo_q_tile(config, n_pts, q_tile)
+    refine_stride = resolve_odo_refine_stride(config, n_pts, refine_stride)
     gicp = config.objective == "gicp"
     aux_rot = gicp_cov_rot if gicp else None
     # Brute NN is right for LiDAR-scale scans (8-16k points: one fused
@@ -246,18 +281,71 @@ def run_odometry_compiled(
             p0 = init_c.apply(s_xyz).reshape(tq, sq, 3)
             cand = _candidate_tiles(p0, t_idx, config.block_k)[0]
 
-        def nn_fn(p):
-            d2, pos = block_nn(
-                p.reshape(tq, sq, 3), t_idx,
-                k_tiles=config.block_k, return_pos=True,
-                cand_tiles=cand,
-                score_prec=config.resolve_score_prec(),
+        def make_nn(sq_n):
+            def nn_fn(p):
+                d2, pos = block_nn(
+                    p.reshape(tq, sq_n, 3), t_idx,
+                    k_tiles=config.block_k, return_pos=True,
+                    cand_tiles=cand,
+                    score_prec=config.resolve_score_prec(),
+                )
+                pl = tgt_pl[pos]
+                return pl[:, :3], pl[:, 3:], jnp.sqrt(d2)
+
+            return nn_fn
+
+        # Multi-resolution refine (the single-pair "mid" phase,
+        # registration/icp.py): bulk iterations on every refine_stride-th
+        # row WITHIN each query tile (tile boxes and the per-frame frozen
+        # candidate list stay valid), full resolution only for the last
+        # `refine_full_iters`. Resolution + measured scan ladder:
+        # resolve_odo_refine_stride (A/B via
+        # `bench.py --odometry --odo-refine-stride N`).
+        stride_r = refine_stride
+        mid = (
+            stride_r > 1
+            and sq % stride_r == 0
+            and sq // stride_r >= 8
+            and config.max_iters > config.refine_full_iters
+        )
+        prev_rmse0 = None
+        init_m = init_c
+        cfg_f = config
+        if mid:
+            sq_m = sq // stride_r
+            dn = s_n.shape[1]
+
+            def substride(arr, d=None):
+                a = arr.reshape(tq, sq, d) if d else arr.reshape(tq, sq)
+                return (
+                    a[:, ::stride_r].reshape(-1, d)
+                    if d
+                    else a[:, ::stride_r].reshape(-1)
+                )
+
+            cfg_m = dataclasses.replace(
+                config,
+                max_iters=config.max_iters - config.refine_full_iters,
+                diff_threshold=config.diff_threshold / stride_r,
             )
-            pl = tgt_pl[pos]
-            return pl[:, :3], pl[:, 3:], jnp.sqrt(d2)
+            res_m = _icp_scan(
+                cfg_m,
+                substride(s_xyz, 3),
+                substride(valid),
+                substride(s_n, dn),
+                init_c,
+                make_nn(sq_m),
+                aux_rot=aux_rot,
+            )
+            init_m = res_m.transform
+            prev_rmse0 = res_m.final_rmse
+            cfg_f = dataclasses.replace(
+                config, max_iters=config.refine_full_iters
+            )
 
         return _icp_scan(
-            config, s_xyz, valid, s_n, init_c, nn_fn, aux_rot=aux_rot
+            cfg_f, s_xyz, valid, s_n, init_m, make_nn(sq),
+            aux_rot=aux_rot, prev_rmse0=prev_rmse0,
         )
 
     def step(carry, frame):

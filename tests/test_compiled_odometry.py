@@ -183,14 +183,62 @@ def test_frozen_frame_candidates_track_unfrozen():
     )
 
 
+def test_refine_stride_tracks_full_res():
+    """Explicit `refine_stride` > 1 (multi-resolution refine inside each
+    per-frame registration: bulk iterations on a within-tile row
+    subsample, `refine_full_iters` at full resolution) must track the
+    stride-1 trajectory — the tile boxes and frozen candidate lists stay
+    valid for the subsample, and pose accuracy needs statistical mass,
+    not every point."""
+    import dataclasses
+
+    world = make_world(n_points=60000, extent=30.0, seed=4)
+    gt = make_trajectory(6, speed=0.6, turn=0.04)
+    frames = simulate_scans(
+        world, gt, max_range=18.0, points_per_scan=2048, noise=0.01, seed=5
+    )
+    frames = [estimate_normals(f, k=10) for f in frames]
+    cfg = ICPConfig(
+        objective="symmetric", max_iters=12, diff_threshold=0.0,
+        rmse_change_tol=1e-6, robust="huber", max_corr_dist=2.0,
+        nn_method="block", block_tile=64, block_q_tile=32, block_k=6,
+    )
+    fx = jnp.stack([f.xyz for f in frames])
+    fm = jnp.stack([f.mask for f in frames])
+    fn = jnp.stack([f.normals for f in frames])
+    runs = {
+        s: run_odometry_compiled(
+            fx, fm, fn, dataclasses.replace(cfg, refine_stride=s),
+            keyframe_trans=1.0, keyframe_rot=0.2,
+        )
+        for s in (1, 2, 4)
+    }
+    gt_rel = [gt[0].inverse() @ g for g in gt]
+    ates = {
+        s: ate_rmse(
+            [jax.tree_util.tree_map(lambda x: x[i], r.poses)
+             for i in range(6)], gt_rel, align=False)
+        for s, r in runs.items()
+    }
+    assert ates[1] < 0.35, ates
+    for s in (2, 4):
+        assert abs(ates[s] - ates[1]) < 0.03, ates
+        assert list(np.asarray(runs[s].is_keyframe)) == list(
+            np.asarray(runs[1].is_keyframe)
+        )
+
+
 def test_odo_resolvers_contract():
     """The odometry auto ladders and their override precedence (review
     r5): explicit q_tile wins; an explicitly tuned config.block_q_tile
     is honored (the ladder must not silently override user tiling);
     otherwise the measured scan-regime ladder applies."""
+    import dataclasses
+
     from icpx.odometry.compiled import (
         resolve_odo_freeze,
         resolve_odo_q_tile,
+        resolve_odo_refine_stride,
     )
 
     cfg_default = ICPConfig()
@@ -209,3 +257,15 @@ def test_odo_resolvers_contract():
     assert resolve_odo_freeze(16384) is True
     assert resolve_odo_freeze(8192, True) is True
     assert resolve_odo_freeze(131072, False) is False
+    # refine-stride ladder: 4 from 131k scans, 2 from 65k, else off
+    assert resolve_odo_refine_stride(cfg_default, 131072) == 4
+    assert resolve_odo_refine_stride(cfg_default, 65536) == 2
+    assert resolve_odo_refine_stride(cfg_default, 32768) == 1
+    assert resolve_odo_refine_stride(cfg_default, 8192) == 1
+    # explicit stride wins over everything
+    assert resolve_odo_refine_stride(cfg_default, 131072, stride=2) == 2
+    # explicitly tuned config stride honored, not laddered away
+    cfg_stride = dataclasses.replace(cfg_default, refine_stride=2)
+    assert resolve_odo_refine_stride(cfg_stride, 131072) == 2
+    cfg_off = dataclasses.replace(cfg_default, refine_stride=1)
+    assert resolve_odo_refine_stride(cfg_off, 131072) == 1
