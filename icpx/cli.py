@@ -340,6 +340,7 @@ def cmd_odometry(args) -> int:
                 else args.odo_freeze == "on"
             ),
             q_tile=args.odo_q_tile,
+            refine_stride=args.odo_refine_stride,
         )
         import numpy as np
 
@@ -590,6 +591,11 @@ def main(argv=None) -> int:
                    help="with --compiled: freeze per-frame candidate "
                         "tiles at the warm init (auto: on from 16k-pt "
                         "scans)")
+    p.add_argument("--odo-refine-stride", type=int, default=0,
+                   help="with --compiled: within-tile row stride for "
+                        "the bulk refine iterations of each per-frame "
+                        "registration (0 = auto: 4 from 131k-pt scans, "
+                        "2 from 65k, else off — the measured ladder)")
     p.add_argument("--stall-timeout", type=float, default=-1.0,
                    help="seconds before a hung per-frame device fence "
                         "raises CollectiveStallError (-1 = auto: off on "
